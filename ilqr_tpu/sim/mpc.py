@@ -1,0 +1,90 @@
+"""Receding-horizon MPC drivers.
+
+Reference loop: src/motion_planning.cpp:180-270 -- each tick solves CILQR on
+the obstacle-prediction window starting at that tick and applies the second
+planned state (``new_x.row(1)``, :197) as the next ego state.
+
+Two drivers:
+- :func:`run_mpc` -- host loop, one jitted solve per tick. Flexible
+  (visualization hooks, per-tick logging); used by the parity suite and the
+  demo app.
+- :func:`run_mpc_scan` -- the whole episode as a single ``lax.scan`` with
+  the solver carry (warm start + ALM duals) threaded through the scan carry.
+  No host round-trip per tick, so "solves/sec" benchmarks are honest and
+  episodes batch under ``vmap`` (SURVEY.md section 7 "Warm start & MPC
+  statefulness").
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ilqr_tpu.solvers.cilqr import solve
+from ilqr_tpu.types import CILQRCarry, CILQRConfig, CILQRWeights, Scenario
+
+
+def run_mpc(cfg: CILQRConfig, w: CILQRWeights, setup, dtype=jnp.float64,
+            ticks: Optional[int] = None,
+            on_tick: Optional[Callable] = None):
+    """Host-driven episode. Returns dict of stacked histories."""
+    ticks = ticks if ticks is not None else setup.num_ticks
+    solver_fn = jax.jit(solve, static_argnums=0)
+    ego = jnp.asarray(setup.ego_x0, dtype=dtype)
+    carry = None
+    ego_hist, u_hist, x_hist, stats_hist = [np.asarray(ego)], [], [], []
+    for t in range(ticks):
+        scenario = setup.device_scenario(tick=t, horizon=cfg.N, dtype=dtype)
+        u, x, stats, carry = solver_fn(cfg, w, ego, scenario, carry)
+        ego = x[1]
+        ego_hist.append(np.asarray(ego))
+        u_hist.append(np.asarray(u))
+        x_hist.append(np.asarray(x))
+        stats_hist.append(jax.tree.map(np.asarray, stats))
+        if on_tick is not None:
+            on_tick(t, np.asarray(u), np.asarray(x), stats_hist[-1])
+    return {
+        "ego": np.stack(ego_hist),
+        "u": np.stack(u_hist),
+        "x": np.stack(x_hist),
+        "stats": stats_hist,
+    }
+
+
+def run_mpc_scan(cfg: CILQRConfig, w: CILQRWeights, x0, ref_line, ref_velo,
+                 obs_preds_full, road_borders, ticks: int):
+    """Whole-episode jitted scan.
+
+    Args:
+      x0: (4,) ego start; obs_preds_full: (M, T, 3) full routing lines with
+      T >= ticks + N + 1; other args as in Scenario.
+
+    Returns (ego_traj (ticks+1, 4), u_hist (ticks, N, 2), stats pytree with
+    leading ``ticks`` axis).
+    """
+    x0 = jnp.asarray(x0)
+    dtype = x0.dtype
+    carry0 = CILQRCarry.init(cfg, w, dtype)
+
+    def tick_step(carry, t):
+        ego, sc = carry
+        window = lax.dynamic_slice_in_dim(obs_preds_full, t, cfg.N + 1, axis=1)
+        scenario = Scenario(
+            ref_line=ref_line,
+            ref_velo=ref_velo,
+            obs_preds=window,
+            road_borders=road_borders,
+        )
+        u, x, stats, sc = solve(cfg, w, ego, scenario, sc)
+        new_ego = x[1]
+        return (new_ego, sc), (new_ego, u, stats)
+
+    (_, _), (egos, us, stats) = lax.scan(
+        tick_step, (x0, carry0), jnp.arange(ticks)
+    )
+    ego_traj = jnp.concatenate([x0[None], egos], axis=0)
+    return ego_traj, us, stats
