@@ -1,0 +1,102 @@
+"""Benchmark: batched CILQR throughput (full 30-step scenario solves / sec).
+
+Prints ONE JSON line:
+  {"metric": "cilqr_solves_per_sec", "value": N, "unit": "solves/s", "vs_baseline": R}
+
+The north star (BASELINE.md) is >= 1e5 full 30-step scenario solves/sec on a
+v5e-8; this harness runs on however many chips are visible (normally one),
+so vs_baseline is measured against the per-chip share of the north star:
+12_500 solves/sec/chip * n_devices.
+
+Workload: scenario_two_straight (3 obstacles, N=30, nx=4, nu=2), a batch of
+perturbed initial states, full solver semantics (max_iter=100, line search,
+status machine) in float32.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build(batch: int, dtype=jnp.float32):
+    from ilqr_tpu.config import GlobalConfig
+    from ilqr_tpu.sim.scenario import build_scenario_setup, perturbed_initial_states
+    from ilqr_tpu.solvers.cilqr import solve
+    from ilqr_tpu.types import CILQRConfig, CILQRWeights
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    gc = GlobalConfig.from_file(os.path.join(here, "configs", "scenario_two_straight.yaml"))
+    st = build_scenario_setup(gc)
+    cfg = CILQRConfig.from_global_config(gc)
+    w = CILQRWeights.from_global_config(gc, dtype=dtype)
+    scenario = st.device_scenario(tick=0, dtype=dtype)
+    x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, batch, seed=0), dtype=dtype)
+    scen_b = jax.tree.map(lambda a: jnp.stack([a] * batch), scenario)
+
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from ilqr_tpu.parallel import make_mesh, shard_batch, sharded_solve_fn
+        from ilqr_tpu.parallel.sharding import replicate
+
+        mesh = make_mesh(n_dev)
+        fn = sharded_solve_fn(mesh, cfg)
+        w_d = replicate(mesh, w)
+        x0_d = shard_batch(mesh, x0_b)
+        scen_d = shard_batch(mesh, scen_b)
+
+        def run():
+            u, x, stats, summary = fn(w_d, x0_d, scen_d)
+            return stats.iters, summary["converged_frac"]
+    else:
+        vsolve = jax.jit(
+            jax.vmap(solve, in_axes=(None, None, 0, 0, None)), static_argnums=0
+        )
+
+        def run():
+            u, x, stats, _ = vsolve(cfg, w, x0_b, scen_b, None)
+            return stats.iters, jnp.mean(stats.converged.astype(jnp.float32))
+
+    return run, n_dev
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    run, n_dev = build(batch)
+
+    # warmup / compile
+    out = run()
+    jax.block_until_ready(out)
+
+    samples = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = run()
+        jax.block_until_ready(out)
+        samples.append(time.perf_counter() - t0)
+    dt = float(np.median(samples))
+    solves_per_sec = batch / dt
+
+    baseline_per_chip = 1e5 / 8.0  # north-star v5e-8 target, per chip
+    result = {
+        "metric": "cilqr_solves_per_sec",
+        "value": round(solves_per_sec, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / (baseline_per_chip * n_dev), 4),
+    }
+    print(json.dumps(result))
+    print(
+        f"# batch={batch} devices={n_dev} median_step={dt*1e3:.1f}ms "
+        f"mean_iters={float(jnp.mean(out[0])):.1f} converged={float(out[1]):.2f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Batch sharding + collective stat aggregation.
+
+TPU-native realization of the "distributed" column of SURVEY.md section 2:
+- the scenario batch is row-partitioned over the mesh's ``data`` axis
+  (embarrassingly parallel -- zero cross-device traffic during solves);
+- convergence / throughput statistics are reduced with ``psum`` inside the
+  same compiled program, so the (tiny) collective overlaps with the tail of
+  solve compute instead of forcing a host sync.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ilqr_tpu.parallel.mesh import DATA_AXIS
+from ilqr_tpu.solvers.cilqr import solve
+from ilqr_tpu.types import CILQRConfig, CILQRWeights, SolveStats
+
+
+def shard_batch(mesh: Mesh, tree, axis_name: str = DATA_AXIS):
+    """Place a batched pytree with its leading axis split over the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.device_put(tree, sharding)
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def aggregate_stats(stats: SolveStats, axis_name: Optional[str] = None):
+    """Global scalar summary of a batch of SolveStats.
+
+    Inside shard_map, pass ``axis_name`` to psum across devices; outside,
+    plain reductions over the batch axis.
+    """
+    n = stats.iters.shape[0] if stats.iters.ndim else 1
+    local = {
+        "num_solves": jnp.asarray(n, jnp.float32),
+        "converged": jnp.sum(stats.converged.astype(jnp.float32)),
+        "lamb_overflow": jnp.sum(stats.lamb_overflow.astype(jnp.float32)),
+        "total_iters": jnp.sum(stats.iters.astype(jnp.float32)),
+        "total_cost": jnp.sum(stats.final_cost.astype(jnp.float32)),
+    }
+    if axis_name is not None:
+        local = {k: lax.psum(v, axis_name) for k, v in local.items()}
+    denom = jnp.maximum(local["num_solves"], 1.0)
+    local["converged_frac"] = local["converged"] / denom
+    local["mean_iters"] = local["total_iters"] / denom
+    local["mean_cost"] = local["total_cost"] / denom
+    return local
+
+
+def sharded_solve_fn(mesh: Mesh, cfg: CILQRConfig, axis_name: str = DATA_AXIS,
+                     with_stats_psum: bool = True):
+    """Build a jitted, mesh-sharded batched solve.
+
+    Returns ``fn(w, x0_batch, scenario_batch) -> (u, x, stats, summary)``
+    where the batch leading axis is row-partitioned over ``axis_name`` and
+    ``summary`` is the psum'd global stat dict (replicated on all devices).
+
+    Uses ``shard_map`` so the per-shard program is exactly the single-chip
+    vmapped solver -- XLA can't accidentally introduce resharding
+    collectives into the hot loop.
+    """
+    vsolve = jax.vmap(solve, in_axes=(None, None, 0, 0, None))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
+        check_vma=False,
+    )
+    def _sharded(w, x0_b, scen_b):
+        u, x, stats, _ = vsolve(cfg, w, x0_b, scen_b, None)
+        summary = aggregate_stats(stats, axis_name if with_stats_psum else None)
+        return u, x, stats, summary
+
+    return jax.jit(_sharded)

@@ -1,0 +1,259 @@
+"""Matplotlib rendering: vehicles, obstacle boundaries, HUD.
+
+Host-side equivalent of the reference's embedded-CPython plotting
+(src/utils.cpp:117-260, src/motion_planning.cpp:180-270, and
+scripts/utils/imshow.py):
+
+- :func:`imread_mat` reads the reference's "Convert from PNG" text sprite
+  format (header line, then "rows cols colors", then float rows);
+- :func:`make_car_sprite` procedurally draws a top-down car RGBA sprite so
+  the framework ships standalone (no binary assets copied);
+- :func:`plot_vehicle` blits a sprite rotated around the vehicle center
+  (scripts/utils/imshow.py:5-16 semantics), shifting rear-center states to
+  the footprint center (src/utils.cpp:158-170);
+- :func:`render_frame` draws one MPC tick: lane lines, planned-trajectory
+  ribbon, vehicles, ellipse boundaries, steering-wheel + pedal-bar HUD.
+
+All functions are pure matplotlib; nothing here touches the device path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+    if matplotlib.get_backend().lower() not in ("agg",) and not _has_display():
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def _has_display() -> bool:
+    import os
+    return bool(os.environ.get("DISPLAY"))
+
+
+def imread_mat(path: str) -> np.ndarray:
+    """Read the reference's text sprite format (src/utils.cpp:117-145):
+    line 1 'Convert from PNG', line 2 'rows cols colors', then floats."""
+    with open(path) as f:
+        header = f.readline().strip()
+        if header != "Convert from PNG":
+            raise ValueError(f"unsupported sprite format: {header!r}")
+        rows, cols, colors = (int(v) for v in f.readline().split())
+        data = np.loadtxt(f, dtype=np.float32)
+    return data.reshape(rows, cols, colors)
+
+
+def make_car_sprite(body_rgb=(0.2, 0.75, 0.8), px: int = 64) -> np.ndarray:
+    """Procedural top-down car sprite, RGBA (h, w, 4), nose facing +x."""
+    h, w = px // 2, px
+    img = np.zeros((h, w, 4), dtype=np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cx, cy = w / 2.0, h / 2.0
+    # rounded-rectangle body via superellipse
+    bx = np.abs((xx - cx) / (0.48 * w)) ** 4 + np.abs((yy - cy) / (0.42 * h)) ** 4
+    body = bx < 1.0
+    img[body, :3] = body_rgb
+    img[body, 3] = 1.0
+    # windshield (front third) and rear window, darker
+    wind = (bx < 0.55) & (xx > cx + 0.08 * w) & (xx < cx + 0.3 * w)
+    rear = (bx < 0.55) & (xx < cx - 0.12 * w) & (xx > cx - 0.3 * w)
+    img[wind | rear, :3] = np.asarray(body_rgb, np.float32) * 0.35
+    # wheels
+    for wx in (0.25 * w, 0.75 * w):
+        for wy in (0.12 * h, 0.88 * h):
+            wheel = (np.abs(xx - wx) < 0.07 * w) & (np.abs(yy - wy) < 0.1 * h)
+            img[wheel, :3] = 0.1
+            img[wheel, 3] = 1.0
+    return img
+
+
+def plot_vehicle(ax, sprite: np.ndarray, state, length: float, width: float,
+                 ref_point: str = "gravity_center", wheelbase: float = 0.0):
+    """Blit sprite at state [x, y, yaw] (or [x, y, v, yaw]) rotated around
+    the footprint center."""
+    from matplotlib.transforms import Affine2D
+
+    state = np.asarray(state, dtype=float)
+    if state.shape[-1] == 4:
+        x, y, yaw = state[0], state[1], state[3]
+    else:
+        x, y, yaw = state[0], state[1], state[2]
+    if ref_point == "rear_center":
+        x += 0.5 * wheelbase * np.cos(yaw)
+        y += 0.5 * wheelbase * np.sin(yaw)
+    tr = Affine2D().rotate_deg_around(x, y, np.degrees(yaw)) + ax.transData
+    extent = [x - length / 2, x + length / 2,
+              y - width / 2 - 0.15, y + width / 2 + 0.15]
+    ax.imshow(sprite, transform=tr, extent=extent, zorder=10.0, clip_on=True)
+
+
+def plot_obstacle_boundary(ax, ego_state, obstacle_states, width, length,
+                           d_safe, wheelbase, ref_point="gravity_center"):
+    """Ego front/rear safety discs + inflated obstacle ellipses
+    (src/utils.cpp:172-213)."""
+    from ilqr_tpu.ops.constraints import ellipsoid_scales
+
+    yaw = ego_state[3]
+    whba = wheelbase * np.array([np.cos(yaw), np.sin(yaw)])
+    pos = np.asarray(ego_state[:2], float)
+    if ref_point == "rear_center":
+        front, rear = pos + whba, pos
+    else:
+        front, rear = pos + 0.5 * whba, pos - 0.5 * whba
+    t = np.linspace(0, 2 * np.pi, 300)
+    radius = 0.5 * width
+    for c in (front, rear):
+        ax.plot(c[0] + radius * np.cos(t), c[1] + radius * np.sin(t),
+                color="red", zorder=12)
+    a, b = ellipsoid_scales(width, length, d_safe, 0.0)
+    for obs in np.atleast_2d(obstacle_states):
+        th = obs[2]
+        ex = a * np.cos(t)
+        ey = b * np.sin(t)
+        ax.plot(obs[0] + ex * np.cos(th) - ey * np.sin(th),
+                obs[1] + ex * np.sin(th) + ey * np.cos(th), "-r")
+
+
+def _steering_wheel_sprite(px: int = 96) -> np.ndarray:
+    img = np.zeros((px, px, 4), dtype=np.float32)
+    yy, xx = np.mgrid[0:px, 0:px].astype(np.float32)
+    r = np.hypot(xx - px / 2, yy - px / 2) / (px / 2)
+    rim = (r < 0.98) & (r > 0.78)
+    hub = r < 0.18
+    ang = np.arctan2(yy - px / 2, xx - px / 2)
+    spokes = (r < 0.8) & (
+        (np.abs(ang) < 0.12) | (np.abs(ang - np.pi) < 0.12)
+        | (np.abs(ang + np.pi) < 0.12) | (np.abs(ang + np.pi / 2) < 0.12)
+    )
+    mask = rim | hub | spokes
+    img[mask, :3] = 0.15
+    img[mask, 3] = 1.0
+    return img
+
+
+def render_frame(ax, setup, ego_state, planned_x, control, tick: int,
+                 sprites=None, show_obstacle_boundary: Optional[bool] = None,
+                 show_reference_line: Optional[bool] = None):
+    """One MPC tick frame (reference src/motion_planning.cpp:182-269)."""
+    from matplotlib.transforms import Affine2D
+
+    gc = setup.gc
+    plt = _plt()
+    ax.cla()
+    sprites = sprites or {}
+    ego_sprite = sprites.get("ego")
+    agent_sprite = sprites.get("agent")
+    wheel = sprites.get("wheel")
+    if ego_sprite is None:
+        ego_sprite = make_car_sprite((0.2, 0.75, 0.8))
+    if agent_sprite is None:
+        agent_sprite = make_car_sprite((0.85, 0.85, 0.85))
+    if wheel is None:
+        wheel = _steering_wheel_sprite()
+
+    for i, b in enumerate(setup.borders):
+        style = dict(color="k", linewidth=2) if i in (0, len(setup.borders) - 1) \
+            else dict(color="k", linewidth=1)
+        ax.plot(b.x, b.y, **style)
+    for c in setup.center_lines:
+        ax.plot(c.x, c.y, "--k", linewidth=0.8)
+
+    # planned trajectory ribbon (get_boundary/get_closed_curve semantics,
+    # src/utils.cpp:441-473): fill between left/right offsets of the plan
+    width = gc["vehicle/width"]
+    length = gc["vehicle/length"]
+    px, py, pyaw = planned_x[1:, 0], planned_x[1:, 1], planned_x[1:, 3]
+    half = 0.7 * width / 2
+    lx, ly = px - half * np.sin(pyaw), py + half * np.cos(pyaw)
+    rx, ry = px + half * np.sin(pyaw), py - half * np.cos(pyaw)
+    ax.fill(np.concatenate([lx[::-1], rx]), np.concatenate([ly[::-1], ry]),
+            color="cyan", alpha=0.7)
+
+    ref_point = gc["vehicle/reference_point"]
+    wb = gc["vehicle/wheelbase"]
+    plot_vehicle(ax, ego_sprite, ego_state, length, width, ref_point, wb)
+    for rl in setup.obs_routing_lines:
+        if tick < len(rl):
+            plot_vehicle(ax, agent_sprite, rl[tick], length, width, ref_point, 0.0)
+
+    if show_obstacle_boundary is None:
+        show_obstacle_boundary = gc.get("visualization/show_obstacle_boundary", False)
+    if show_obstacle_boundary and setup.num_obstacles:
+        obs_states = np.stack([rl[tick] for rl in setup.obs_routing_lines])
+        plot_obstacle_boundary(ax, np.asarray(ego_state), obs_states, width,
+                               length, gc["vehicle/d_safe"], wb, ref_point)
+    if show_reference_line is None:
+        show_reference_line = gc.get("visualization/show_reference_line", False)
+    if show_reference_line:
+        ax.plot(setup.center_lines[0].x, setup.center_lines[0].y, "-r", linewidth=0.8)
+
+    # view window + HUD (src/motion_planning.cpp:220-265)
+    x_min, y_min = ego_state[0] - 10, ego_state[1] - 5
+    x_max, y_max = ego_state[0] + 30, ego_state[1] + 15
+    if gc.has_key("visualization/x_lim"):
+        x_min, x_max = gc["visualization/x_lim"]
+    if gc.has_key("visualization/y_lim"):
+        y_min, y_max = gc["visualization/y_lim"]
+
+    steer_size = 5.0
+    acc_cmd, steer_cmd = float(control[0]), float(control[1])
+    wx, wy = x_min + steer_size / 1.5, y_max - steer_size / 1.5
+    tr = Affine2D().rotate_deg_around(wx, wy, np.degrees(steer_cmd * 2.5)) + ax.transData
+    ax.imshow(wheel, transform=tr, zorder=11, clip_on=True,
+              extent=[wx - steer_size / 2, wx + steer_size / 2,
+                      wy - steer_size / 2, wy + steer_size / 2])
+    acc = max(acc_cmd, 0.0)
+    brake = max(-acc_cmd, 0.0)
+    acc_max = gc["vehicle/acc_max"]
+    bar_bottom, bar_left = y_max - steer_size, x_min + steer_size * 1.3
+    ax.fill([bar_left, bar_left + 1, bar_left + 1, bar_left],
+            [bar_bottom, bar_bottom, bar_bottom + steer_size * acc / acc_max,
+             bar_bottom + steer_size * acc / acc_max], color="red")
+    ax.fill([bar_left + 2, bar_left + 3, bar_left + 3, bar_left + 2],
+            [bar_bottom, bar_bottom, bar_bottom + steer_size * brake / acc_max,
+             bar_bottom + steer_size * brake / acc_max], color="gray")
+    tx, ty = bar_left + 4.5, y_max - 1.5
+    ax.text(tx, ty, f"x = {ego_state[0]:.2f} m")
+    ax.text(tx, ty - 1.5, f"y = {ego_state[1]:.2f} m")
+    ax.text(tx, ty - 3.0, f"v = {ego_state[2]:.2f} m/s")
+    ax.text(tx, ty - 4.5, f"yaw = {ego_state[3]:.2f} rad")
+    ax.text(tx + 10, ty, f"acc = {acc_cmd:.2f}")
+    ax.text(tx + 10, ty - 1.5, f"steer = {steer_cmd:.2f}")
+    ax.set_xlim(x_min, x_max)
+    ax.set_ylim(y_min, y_max)
+    ax.set_aspect("equal")
+
+
+def animate_episode(setup, history, out_path: Optional[str] = None,
+                    fps: int = 10, show: bool = False):
+    """Render a whole run_mpc() history; optionally save as GIF/MP4."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(10, 5))
+    sprites = {
+        "ego": make_car_sprite((0.2, 0.75, 0.8)),
+        "agent": make_car_sprite((0.9, 0.9, 0.9)),
+        "wheel": _steering_wheel_sprite(),
+    }
+    frames = len(history["u"])
+
+    def draw(t):
+        render_frame(ax, setup, history["ego"][t + 1], history["x"][t],
+                     history["u"][t][0], t, sprites=sprites)
+
+    if out_path:
+        from matplotlib.animation import FuncAnimation
+        anim = FuncAnimation(fig, draw, frames=frames, interval=1000 / fps)
+        anim.save(out_path, fps=fps)
+    elif show:
+        for t in range(frames):
+            draw(t)
+            plt.pause(1.0 / fps)
+    else:
+        draw(frames - 1)
+    return fig
