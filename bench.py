@@ -33,7 +33,7 @@ def build(batch: int, dtype=jnp.float32):
     here = os.path.dirname(os.path.abspath(__file__))
     gc = GlobalConfig.from_file(os.path.join(here, "configs", "scenario_two_straight.yaml"))
     st = build_scenario_setup(gc)
-    cfg = CILQRConfig.from_global_config(gc)
+    cfg = CILQRConfig.from_global_config(gc, projection="hier")
     w = CILQRWeights.from_global_config(gc, dtype=dtype)
     scenario = st.device_scenario(tick=0, dtype=dtype)
     x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, batch, seed=0), dtype=dtype)
@@ -70,15 +70,17 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     run, n_dev = build(batch)
 
-    # warmup / compile
+    # warmup / compile; NOTE: on the axon remote backend block_until_ready
+    # does not actually synchronize, so every timed step fetches a small
+    # output to host (np.asarray) to bound the real completion time.
     out = run()
-    jax.block_until_ready(out)
+    np.asarray(out[0])
 
     samples = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = run()
-        jax.block_until_ready(out)
+        np.asarray(out[0])
         samples.append(time.perf_counter() - t0)
     dt = float(np.median(samples))
     solves_per_sec = batch / dt

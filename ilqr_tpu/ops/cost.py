@@ -35,10 +35,10 @@ class CostDerivatives(NamedTuple):
     alm_mu_next: jnp.ndarray  # (N, C)
 
 
-def _ref_states(x, ref_line, ref_velo):
+def _ref_states(x, ref_line, ref_velo, method: str = "exact"):
     """Nearest ref rows + the (N+1, 4) tracking target [rx, ry, v_ref, ryaw]
     (reference src/cilqr_solver.cpp:205-209)."""
-    ref_pts = nearest_ref_points(x[:, :2], ref_line)[:, :3]  # (N+1, 3)
+    ref_pts = nearest_ref_points(x[:, :2], ref_line, method)[:, :3]  # (N+1, 3)
     ref_states = jnp.stack(
         [
             ref_pts[:, 0],
@@ -113,7 +113,8 @@ def total_cost(cfg: CILQRConfig, w: CILQRWeights, u, x, scenario,
                alm_rho=None, alm_mu=None):
     """J = quadratic tracking + control energy + penalty terms
     (reference src/cilqr_solver.cpp:199-287)."""
-    ref_pts, ref_states = _ref_states(x, scenario.ref_line, scenario.ref_velo)
+    ref_pts, ref_states = _ref_states(x, scenario.ref_line, scenario.ref_velo,
+                                      cfg.projection)
     dxs = x - ref_states
     j_prime = jnp.sum(dxs * dxs * w.state_weight_diag) + jnp.sum(
         u * u * w.ctrl_weight_diag
@@ -128,11 +129,25 @@ def total_cost(cfg: CILQRConfig, w: CILQRWeights, u, x, scenario,
 
 def cost_derivatives(cfg: CILQRConfig, w: CILQRWeights, u, x, scenario,
                      alm_rho=None, alm_mu=None) -> CostDerivatives:
-    """l_x, l_u, l_xx, l_uu (+ ALM dual precompute), fully vectorized
-    (reference src/cilqr_solver.cpp:463-690)."""
+    """l_x, l_u, l_xx, l_uu (+ ALM dual precompute)."""
+    _, der = cost_and_derivatives(cfg, w, u, x, scenario, alm_rho, alm_mu)
+    return der
+
+
+def cost_and_derivatives(cfg: CILQRConfig, w: CILQRWeights, u, x, scenario,
+                         alm_rho=None, alm_mu=None):
+    """(J, CostDerivatives) in one pass, fully vectorized
+    (reference src/cilqr_solver.cpp:199-287 and :463-690).
+
+    The solver iteration needs both the cost and its derivatives of the
+    *same* trajectory (src/cilqr_solver.cpp:342-344); computing them
+    together shares the nearest-point projection, constraint values and
+    penalty coefficients -- the dominant non-scan work per iteration.
+    """
     N, M = cfg.N, cfg.num_obstacles
     dtype = x.dtype
-    ref_pts, ref_states = _ref_states(x, scenario.ref_line, scenario.ref_velo)
+    ref_pts, ref_states = _ref_states(x, scenario.ref_line, scenario.ref_velo,
+                                      cfg.projection)
     xk = x[1:]
     rk = ref_pts[1:]
 
@@ -178,7 +193,7 @@ def cost_derivatives(cfg: CILQRConfig, w: CILQRWeights, u, x, scenario,
     else:
         g_x = g_x_bounds
 
-    _, gamma, eta = _penalty_coeffs(cfg, w, c_all, alm_rho, alm_mu)
+    value, gamma, eta = _penalty_coeffs(cfg, w, c_all, alm_rho, alm_mu)
     gamma_u, gamma_x = gamma[:, :4], gamma[:, 4:]
     eta_u, eta_x = eta[:, :4], eta[:, 4:]
 
@@ -199,4 +214,10 @@ def cost_derivatives(cfg: CILQRConfig, w: CILQRWeights, u, x, scenario,
         mu_next = C.alm_mu_next(c_all, alm_rho, alm_mu, w.max_mu)
     else:
         mu_next = jnp.zeros((N, cfg.num_constraints), dtype=dtype)
-    return CostDerivatives(l_x, l_u, l_xx, l_uu, mu_next)
+
+    dxs = x - ref_states
+    j_prime = jnp.sum(dxs * dxs * w.state_weight_diag) + jnp.sum(
+        u * u * w.ctrl_weight_diag
+    )
+    J = j_prime + jnp.sum(value)
+    return J, CostDerivatives(l_x, l_u, l_xx, l_uu, mu_next)

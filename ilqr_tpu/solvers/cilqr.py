@@ -39,7 +39,7 @@ from jax import lax
 
 from ilqr_tpu.config import GlobalConfig
 from ilqr_tpu.models.bicycle import kinematic_jacobians, rollout
-from ilqr_tpu.ops.cost import cost_derivatives, total_cost
+from ilqr_tpu.ops.cost import cost_and_derivatives, total_cost
 from ilqr_tpu.ops.riccati import backward_pass, forward_pass
 from ilqr_tpu.types import (
     CILQRCarry,
@@ -92,43 +92,81 @@ class _LineSearchResult(NamedTuple):
     new_J: Any
 
 
+def _alpha_schedule(cfg: CILQRConfig):
+    """alpha = 1, 0.5, ... while alpha > min_alpha
+    (reference src/cilqr_solver.cpp:354): 20 trials at the default 1e-6."""
+    alphas = []
+    a = 1.0
+    while a > cfg.min_alpha:
+        alphas.append(a)
+        a *= 0.5
+    return tuple(alphas)
+
+
 def _line_search(cfg: CILQRConfig, w: CILQRWeights, u, x, d, K, ori_cost,
                  dV1, dV2, scenario: Scenario, alm_rho, alm_mu) -> _LineSearchResult:
-    """Backtracking line search, alpha = 1, 0.5, ... > min_alpha
-    (reference src/cilqr_solver.cpp:354-372)."""
+    """Backtracking line search (reference src/cilqr_solver.cpp:354-372),
+    evaluated *breadth-first*: every alpha's rollout + cost runs in one
+    widened batch and the first acceptable trial (in the reference's
+    descending-alpha order) is selected.
+
+    Identical results to the sequential walk -- each trial is a pure
+    function of (u, x, d, K, alpha) and the reference stops at the first
+    hit -- but the sequential depth drops from (#alphas x N) propagation
+    steps to N, which is what the TPU lockstep batch actually pays.
+    """
     dtype = x.dtype
-    one = jnp.ones((), dtype)
+    schedule = _alpha_schedule(cfg)
+    W = max(1, min(cfg.line_search_width, len(schedule)))
+    n_chunks = -(-len(schedule) // W)
+    # pad the schedule to a multiple of W; padded slots are masked out
+    padded = schedule + (schedule[-1],) * (n_chunks * W - len(schedule))
+    alphas_all = jnp.asarray(padded, dtype).reshape(n_chunks, W)
+    valid_all = (
+        jnp.arange(n_chunks * W) < len(schedule)
+    ).reshape(n_chunks, W)
+
+    def trials(alphas):
+        def one(alpha):
+            nu, nx = forward_pass(u, x, d, K, alpha, w.dt, w.wheelbase,
+                                  cfg.reference_point)
+            nJ = total_cost(cfg, w, nu, nx, scenario, alm_rho, alm_mu)
+            return nu, nx, nJ
+
+        return jax.vmap(one)(alphas)
 
     def cond(c):
-        alpha, trial, done, *_ = c
-        return (~done) & (alpha > cfg.min_alpha)
+        chunk, done, *_ = c
+        return (~done) & (chunk < n_chunks)
 
     def body(c):
-        alpha, trial, done, acc, conv, small, bu, bx, bj = c
-        nu, nx = forward_pass(u, x, d, K, alpha, w.dt, w.wheelbase,
-                              cfg.reference_point)
-        nJ = total_cost(cfg, w, nu, nx, scenario, alm_rho, alm_mu)
-        decay = ori_cost - nJ
-        is_full_step = trial == 0
-        conv_now = is_full_step & (jnp.abs(decay) < w.convergence_threshold)
-        approx = -(alpha * alpha * dV1 + alpha * dV2)
+        chunk, done, acc_f, conv_f, small_f, bu, bx, bj = c
+        alphas = alphas_all[chunk]  # (W,)
+        valid = valid_all[chunk]
+        nu_all, nx_all, nJ_all = trials(alphas)
+        decay = ori_cost - nJ_all  # (W,)
+        is_first = (chunk == 0) & (jnp.arange(W) == 0)
+        # the convergence check precedes the acceptance check at alpha == 1
+        # (src/cilqr_solver.cpp:358-365)
+        conv_slot = is_first & (jnp.abs(decay) < w.convergence_threshold)
+        approx = -(alphas * alphas * dV1 + alphas * dV2)
         # reference divides unguarded; replicate accept-at-inf, avoid NaN
         ratio = jnp.where(approx != 0, decay / approx,
                           jnp.asarray(jnp.inf, dtype))
-        acc_now = (~conv_now) & (decay > 0) & (
-            (approx < 0) | (ratio > w.accept_step_threshold)
-        )
-        take = acc_now  # converged trials are returned but NOT adopted
-        bu = jnp.where(take, nu, bu)
-        bx = jnp.where(take, nx, bx)
-        bj = jnp.where(take, nJ, bj)
-        small = small | (acc_now & ~is_full_step)
-        done = conv_now | acc_now
-        return (alpha * 0.5, trial + 1, done, acc | acc_now, conv | conv_now,
-                small, bu, bx, bj)
+        acc_slot = (decay > 0) & ((approx < 0) | (ratio > w.accept_step_threshold))
+        hit = valid & (conv_slot | acc_slot)
+        any_hit = jnp.any(hit)
+        j = jnp.argmax(hit)  # first hit in descending-alpha order
+        conv_now = any_hit & conv_slot[j]
+        acc_now = any_hit & ~conv_now
+        small_now = acc_now & ~is_first[j]
+        bu = jnp.where(acc_now, nu_all[j], bu)
+        bx = jnp.where(acc_now, nx_all[j], bx)
+        bj = jnp.where(acc_now, nJ_all[j], bj)
+        return (chunk + 1, done | any_hit, acc_f | acc_now, conv_f | conv_now,
+                small_f | small_now, bu, bx, bj)
 
     init = (
-        one,
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
         jnp.asarray(False),
@@ -138,7 +176,7 @@ def _line_search(cfg: CILQRConfig, w: CILQRWeights, u, x, d, K, ori_cost,
         x,
         jnp.asarray(ori_cost, dtype),
     )
-    (_, _, _, acc, conv, small, bu, bx, bj) = lax.while_loop(cond, body, init)
+    (_, _, acc, conv, small, bu, bx, bj) = lax.while_loop(cond, body, init)
     return _LineSearchResult(acc, conv, small, bu, bx, bj)
 
 
@@ -167,11 +205,13 @@ def _solve_loop(cfg: CILQRConfig, w: CILQRWeights, u0, x_init,
         return (~s.done) & (s.itr < cfg.max_iter)
 
     def body(s: _IterState) -> _IterState:
-        der = cost_derivatives(cfg, w, s.u, s.x, scenario, s.alm_rho, s.alm_mu)
+        # one pass computes the iteration's cost (== ori_cost of
+        # src/cilqr_solver.cpp:342, same trajectory) and its derivatives
+        ori_cost, der = cost_and_derivatives(cfg, w, s.u, s.x, scenario,
+                                             s.alm_rho, s.alm_mu)
         A, B = kinematic_jacobians(s.x[:-1], s.u, w.dt, w.wheelbase,
                                    cfg.reference_point)
         bw = backward_pass(A, B, der.l_x, der.l_u, der.l_xx, der.l_uu, s.lamb)
-        ori_cost = total_cost(cfg, w, s.u, s.x, scenario, s.alm_rho, s.alm_mu)
         ls = _line_search(cfg, w, s.u, s.x, bw.d, bw.K, ori_cost, bw.dV1,
                           bw.dV2, scenario, s.alm_rho, s.alm_mu)
 

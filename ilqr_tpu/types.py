@@ -50,9 +50,12 @@ class CILQRConfig:
     # line search: alpha = 1, 0.5, ... while alpha > min_alpha
     # (reference src/cilqr_solver.cpp:354) -> at most 20 trials
     min_alpha: float = 1e-6
-    # nearest-point strategy: "exact" global argmin | "window" (perf path)
+    # nearest-point strategy: "exact" global argmin | "hier" coarse->fine
+    # (perf path; identical on smooth lane lines -- see ops/projection.py)
     projection: str = "exact"
-    projection_window: int = 128
+    # line-search breadth: how many alphas are evaluated per lockstep round
+    # (1 = the reference's sequential walk; results identical for any width)
+    line_search_width: int = 4
 
     @property
     def num_constraints(self) -> int:

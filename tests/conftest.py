@@ -26,6 +26,9 @@ REFERENCE_DIR = "/root/reference"
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    # deterministic per test (independent of execution order and process)
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(request.node.name.encode()))
