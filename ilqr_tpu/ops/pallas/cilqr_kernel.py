@@ -1,0 +1,735 @@
+"""Fused CILQR solver as a single Pallas TPU kernel.
+
+The XLA-composed solver (ilqr_tpu/solvers/cilqr.py) is launch-bound on TPU:
+one solver iteration is ~2,500 small HLO executions (scanned Riccati steps,
+rollouts, constraint assembly), each microseconds of overhead for nanoseconds
+of math. This kernel runs the *entire* solve -- projection, cost +
+derivative assembly, the 30-step backward Riccati recursion, line-search
+rollouts, the lambda/status state machine -- inside one ``pallas_call``:
+zero dispatch per iteration, everything resident in VMEM/registers.
+
+Layout (TPU-native, structure-of-slabs):
+- batch tile of 128 scenarios on the *lane* dimension;
+- horizon on the sublane dimension: every per-step quantity is a
+  (32, 128) slab (N=30 padded to 32 sublanes), e.g. PX[k, b] = x position
+  of scenario b at step k;
+- the 4x4/4x2 Riccati algebra is unrolled with the bicycle Jacobians'
+  sparsity (A = I + 5 entries, B = 4 entries -- reference
+  src/utils.cpp:285-342), so each backward step is ~100 fused
+  multiply-adds on (1, 128) rows;
+- the nearest-reference-point projection works on a per-scenario window of
+  the dense lane line ((W, 128) slabs, gathered once per solve outside the
+  kernel) with a min + first-index one-hot reduction instead of a gather;
+- the projection of the *accepted* trajectory is carried across iterations,
+  so each iteration pays projections only for its line-search trials;
+- per-tile early exit: the outer ``lax.while_loop`` stops when every lane
+  in the tile is done (converged / lambda overflow -- reference
+  src/cilqr_solver.cpp:110-142).
+
+Semantics match the reference C++ solver in barrier mode (the mode of all
+four shipped scenarios); warm starting and ALM stay on the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ilqr_tpu.types import CILQRConfig, CILQRWeights, Scenario, SolveStats, SolveStatus
+
+LANES = 128
+NH = 32  # horizon slab sublanes (N = 30 -> rows 0..30 used)
+W_BACK = 64  # window rows behind the ego's initial projection
+
+# weight vector layout (rows of the (32, 1) SMEM input)
+(_DT, _WB, _WIDTH, _LENGTH, _DSAFE, _VMAX, _VMIN, _AMAX, _AMIN, _STL,
+ _WPOS, _WVEL, _WYAW, _WACC, _WSTL, _SQ1, _SQ2, _OQ1, _OQ2,
+ _ILAMB, _LDECAY, _LAMP, _LMAX, _CONV, _ACCEPT, _ECLIP) = range(26)
+_NWTS = 32
+
+
+def _alpha_count(min_alpha: float) -> int:
+    n, a = 0, 1.0
+    while a > min_alpha:
+        n += 1
+        a *= 0.5
+    return n
+
+
+def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
+                  rear_center: bool):
+    """Returns the kernel body function (closed over static shapes)."""
+    f32 = jnp.float32
+
+    def kernel(wts_ref, x0_ref, rx_ref, ry_ref, ryaw_ref,
+               ox_ref, oy_ref, oyaw_ref,
+               u_out, x_out, stats_out):
+        row_iota = lax.broadcasted_iota(jnp.int32, (NH, LANES), 0)
+        state_mask = (row_iota >= 1) & (row_iota <= N)  # rows 1..N
+        ctrl_mask = row_iota <= N - 1  # rows 0..N-1
+        quad_mask = row_iota <= N  # rows 0..N
+
+        def _row(S, k):
+            """Extract slab row k as a (1, 128) value with *replicated*
+            sublane layout (Mosaic cannot relayout offset row slices to the
+            replicated layout broadcasts need, so a masked reduce -- which
+            is born replicated -- stands in for ``S[k:k+1]``)."""
+            ri = lax.broadcasted_iota(jnp.int32, S.shape, 0)
+            return jnp.sum(jnp.where(ri == k, S, 0.0), axis=0, keepdims=True)
+        w = lambda i: wts_ref[i, 0]
+        dt, wb = w(_DT), w(_WB)
+        width, length, d_safe = w(_WIDTH), w(_LENGTH), w(_DSAFE)
+        sq1, sq2, oq1, oq2 = w(_SQ1), w(_SQ2), w(_OQ1), w(_OQ2)
+        eclip = w(_ECLIP)
+        # inflated ellipse axes (reference src/utils.cpp:387-393, with the
+        # ego disc radius = width / 2 from src/cilqr_solver.cpp:330)
+        ell_a = 0.5 * length + 6.0 * d_safe + 0.5 * width
+        ell_b = 0.5 * width + d_safe + 0.5 * width
+        inv_a2 = 1.0 / (ell_a * ell_a)
+        inv_b2 = 1.0 / (ell_b * ell_b)
+
+        x0s = x0_ref[:, :]  # (8, 128)
+        x0 = [_row(x0s, i) for i in range(4)]  # rows (1, 128)
+        rb_hi = _row(x0s, 4)
+        rb_lo = _row(x0s, 5)
+        ref_velo = _row(x0s, 6)
+        up_bound = rb_hi - width * 0.5
+        lo_bound = rb_lo + width * 0.5
+
+        rx, ry, ryaw = rx_ref[:, :], ry_ref[:, :], ryaw_ref[:, :]  # (W, 128)
+        widx = lax.broadcasted_iota(jnp.int32, (W, LANES), 0)
+        OX = ox_ref[:, :]  # (M * NH, 128)
+        OY = oy_ref[:, :]
+        OTH = oyaw_ref[:, :]
+
+        # -- primitives ---------------------------------------------------
+        def propagate(px, py, pv, pyaw, ua, us):
+            if rear_center:
+                nx = px + pv * jnp.cos(pyaw) * dt
+                ny = py + pv * jnp.sin(pyaw) * dt
+                nv = pv + ua * dt
+                nyaw = pyaw + pv * jnp.tan(us) * dt / wb
+            else:
+                beta = jnp.arctan(jnp.tan(us) * 0.5)
+                nx = px + pv * jnp.cos(beta + pyaw) * dt
+                ny = py + pv * jnp.sin(beta + pyaw) * dt
+                nv = pv + ua * dt
+                nyaw = pyaw + 2.0 * pv * jnp.sin(beta) * dt / wb
+            return nx, ny, nv, nyaw
+
+        def _stack(rows):
+            """(len(rows), 128) rows -> (NH, 128) slab (zero-padded)."""
+            pad = NH - len(rows)
+            if pad:
+                rows = rows + [jnp.zeros((pad, LANES), f32)]
+            return jnp.concatenate(rows, axis=0)
+
+        def rollout(UA, US):
+            rxs, rys, rvs, rhs = [x0[0]], [x0[1]], [x0[2]], [x0[3]]
+            cx, cy, cv, ch = x0
+            for k in range(N):
+                cx, cy, cv, ch = propagate(cx, cy, cv, ch,
+                                           _row(UA, k), _row(US, k))
+                rxs.append(cx)
+                rys.append(cy)
+                rvs.append(cv)
+                rhs.append(ch)
+            return _stack(rxs), _stack(rys), _stack(rvs), _stack(rhs)
+
+        def project(PX, PY):
+            """Nearest window row per (step, lane): first-min one-hot."""
+            kxs, kys, khs = [], [], []
+            for k in range(N + 1):
+                dx = rx - _row(PX, k)
+                dy = ry - _row(PY, k)
+                d2 = dx * dx + dy * dy
+                m = jnp.min(d2, axis=0, keepdims=True)
+                sel = jnp.where(d2 <= m, widx, jnp.int32(2**30))
+                i0 = jnp.min(sel, axis=0, keepdims=True)
+                hot = (widx == i0).astype(f32)
+                kxs.append(jnp.sum(hot * rx, axis=0, keepdims=True))
+                kys.append(jnp.sum(hot * ry, axis=0, keepdims=True))
+                khs.append(jnp.sum(hot * ryaw, axis=0, keepdims=True))
+            return _stack(kxs), _stack(kys), _stack(khs)
+
+        def barrier(c, q1, q2):
+            return q1 * jnp.exp(jnp.minimum(q2 * c, eclip))
+
+        def front_rear(PX, PY, PH):
+            cph, sph = jnp.cos(PH), jnp.sin(PH)
+            if rear_center:
+                return (PX + wb * cph, PY + wb * sph, PX, PY, cph, sph)
+            return (PX + 0.5 * wb * cph, PY + 0.5 * wb * sph,
+                    PX - 0.5 * wb * cph, PY - 0.5 * wb * sph, cph, sph)
+
+        def lateral(PX, PY, RKX, RKY, RKH):
+            dx = PX - RKX
+            dy = PY - RKY
+            d_sign = dy * jnp.cos(RKH) - dx * jnp.sin(RKH)
+            sgn = jnp.where(d_sign < 0, f32(-1.0), f32(1.0))
+            h = jnp.sqrt(dx * dx + dy * dy)
+            return sgn * h, d_sign, dx, dy, h
+
+        def obs_margins(FX, FY, RXc, RYc):
+            """(margins, grads) for all obstacles against point slabs."""
+            outs = []
+            for j in range(M):
+                cxj = OX[j * NH:(j + 1) * NH]
+                cyj = OY[j * NH:(j + 1) * NH]
+                thj = OTH[j * NH:(j + 1) * NH]
+                ct, st = jnp.cos(thj), jnp.sin(thj)
+                for (PXp, PYp) in ((FX, FY), (RXc, RYc)):
+                    ddx = PXp - cxj
+                    ddy = PYp - cyj
+                    xs = ct * ddx + st * ddy
+                    ys = -st * ddx + ct * ddy
+                    c = 1.0 - (xs * xs * inv_a2 + ys * ys * inv_b2)
+                    gxs = -2.0 * xs * inv_a2
+                    gys = -2.0 * ys * inv_b2
+                    gx = ct * gxs - st * gys
+                    gy = st * gxs + ct * gys
+                    outs.append((c, gx, gy))
+            return outs
+
+        def total_cost(UA, US, PX, PY, PV, PH, RKX, RKY, RKH):
+            dx = PX - RKX
+            dy = PY - RKY
+            dv = PV - ref_velo
+            dh = PH - RKH
+            quad = jnp.sum(
+                jnp.where(quad_mask,
+                          w(_WPOS) * (dx * dx + dy * dy)
+                          + w(_WVEL) * dv * dv + w(_WYAW) * dh * dh, 0.0),
+                axis=0, keepdims=True)
+            quad = quad + jnp.sum(
+                jnp.where(ctrl_mask,
+                          w(_WACC) * UA * UA + w(_WSTL) * US * US, 0.0),
+                axis=0, keepdims=True)
+            # control bound barriers (slab rows r correspond to step k=r+1)
+            jb = jnp.sum(
+                jnp.where(ctrl_mask,
+                          barrier(UA - w(_AMAX), sq1, sq2)
+                          + barrier(w(_AMIN) - UA, sq1, sq2)
+                          + barrier(US - w(_STL), sq1, sq2)
+                          + barrier(-w(_STL) - US, sq1, sq2), 0.0),
+                axis=0, keepdims=True)
+            cur_d, _, _, _, _ = lateral(PX, PY, RKX, RKY, RKH)
+            jb = jb + jnp.sum(
+                jnp.where(state_mask,
+                          barrier(PV - w(_VMAX), sq1, sq2)
+                          + barrier(w(_VMIN) - PV, sq1, sq2)
+                          + barrier(cur_d - up_bound, sq1, sq2)
+                          + barrier(lo_bound - cur_d, sq1, sq2), 0.0),
+                axis=0, keepdims=True)
+            FX, FY, RXc, RYc, _, _ = front_rear(PX, PY, PH)
+            for (c, _, _) in obs_margins(FX, FY, RXc, RYc):
+                jb = jb + jnp.sum(
+                    jnp.where(state_mask, barrier(c, oq1, oq2), 0.0),
+                    axis=0, keepdims=True)
+            return quad + jb
+
+        def cost_and_derivs(UA, US, PX, PY, PV, PH, RKX, RKY, RKH):
+            """J plus l_x (4 slabs), l_u (2), l_xx (10 sym), l_uu (3 sym).
+
+            Mirrors reference src/cilqr_solver.cpp:463-690; l_ux == 0.
+            """
+            dx = PX - RKX
+            dy = PY - RKY
+            dv = PV - ref_velo
+            dh = PH - RKH
+            J = total_cost(UA, US, PX, PY, PV, PH, RKX, RKY, RKH)
+
+            lx = [2.0 * w(_WPOS) * dx, 2.0 * w(_WPOS) * dy,
+                  2.0 * w(_WVEL) * dv, 2.0 * w(_WYAW) * dh]
+            lu = [2.0 * w(_WACC) * UA, 2.0 * w(_WSTL) * US]
+            zero = jnp.zeros((NH, LANES), f32)
+            # l_xx as the 10 upper-triangle components (00,01,02,03,11,...)
+            lxx = {(0, 0): jnp.full((NH, LANES), 2.0 * w(_WPOS)),
+                   (1, 1): jnp.full((NH, LANES), 2.0 * w(_WPOS)),
+                   (2, 2): jnp.full((NH, LANES), 2.0 * w(_WVEL)),
+                   (3, 3): jnp.full((NH, LANES), 2.0 * w(_WYAW)),
+                   (0, 1): zero, (0, 2): zero, (0, 3): zero,
+                   (1, 2): zero, (1, 3): zero, (2, 3): zero}
+            luu = {(0, 0): jnp.full((NH, LANES), 2.0 * w(_WACC)),
+                   (1, 1): jnp.full((NH, LANES), 2.0 * w(_WSTL)),
+                   (0, 1): zero}
+
+            sm = state_mask.astype(f32)
+            cm = ctrl_mask.astype(f32)
+
+            # control bound barriers: gradients are +-e0 / +-e1
+            b_au = barrier(UA - w(_AMAX), sq1, sq2) * cm
+            b_al = barrier(w(_AMIN) - UA, sq1, sq2) * cm
+            b_su = barrier(US - w(_STL), sq1, sq2) * cm
+            b_sl = barrier(-w(_STL) - US, sq1, sq2) * cm
+            lu[0] = lu[0] + sq2 * (b_au - b_al)
+            lu[1] = lu[1] + sq2 * (b_su - b_sl)
+            luu[(0, 0)] = luu[(0, 0)] + sq2 * sq2 * (b_au + b_al)
+            luu[(1, 1)] = luu[(1, 1)] + sq2 * sq2 * (b_su + b_sl)
+
+            # velocity bounds: gradient +-e2
+            b_vu = barrier(PV - w(_VMAX), sq1, sq2) * sm
+            b_vl = barrier(w(_VMIN) - PV, sq1, sq2) * sm
+            lx[2] = lx[2] + sq2 * (b_vu - b_vl)
+            lxx[(2, 2)] = lxx[(2, 2)] + sq2 * sq2 * (b_vu + b_vl)
+
+            # road borders: gradient (+-gx, +-gy, 0, 0)
+            cur_d, d_sign, ddx, ddy, h = lateral(PX, PY, RKX, RKY, RKH)
+            hs = jnp.where(h > 0, h, f32(1.0))
+            flip = jnp.where(d_sign < 0, f32(-1.0), f32(1.0))
+            gpx = jnp.where(h > 0, flip * ddx / hs, 0.0)
+            gpy = jnp.where(h > 0, flip * ddy / hs, 0.0)
+            b_pu = barrier(cur_d - up_bound, sq1, sq2) * sm
+            b_pl = barrier(lo_bound - cur_d, sq1, sq2) * sm
+            gsum = sq2 * (b_pu - b_pl)  # lower uses the negated gradient
+            hsum = sq2 * sq2 * (b_pu + b_pl)
+            lx[0] = lx[0] + gsum * gpx
+            lx[1] = lx[1] + gsum * gpy
+            lxx[(0, 0)] = lxx[(0, 0)] + hsum * gpx * gpx
+            lxx[(0, 1)] = lxx[(0, 1)] + hsum * gpx * gpy
+            lxx[(1, 1)] = lxx[(1, 1)] + hsum * gpy * gpy
+
+            # obstacle ellipses: chain through front/rear point jacobians
+            FX, FY, RXc, RYc, cph, sph = front_rear(PX, PY, PH)
+            if rear_center:
+                f_yx, f_yy = -wb * sph, wb * cph
+                r_yx = jnp.zeros_like(sph)
+                r_yy = jnp.zeros_like(sph)
+            else:
+                f_yx, f_yy = -0.5 * wb * sph, 0.5 * wb * cph
+                r_yx, r_yy = 0.5 * wb * sph, -0.5 * wb * cph
+            outs = obs_margins(FX, FY, RXc, RYc)
+            for idx, (c, gx, gy) in enumerate(outs):
+                is_front = (idx % 2) == 0
+                jyx = f_yx if is_front else r_yx
+                jyy = f_yy if is_front else r_yy
+                b = barrier(c, oq1, oq2) * sm
+                gcoef = oq2 * b
+                hcoef = oq2 * oq2 * b
+                g3 = jyx * gx + jyy * gy  # d c / d yaw
+                lx[0] = lx[0] + gcoef * gx
+                lx[1] = lx[1] + gcoef * gy
+                lx[3] = lx[3] + gcoef * g3
+                lxx[(0, 0)] = lxx[(0, 0)] + hcoef * gx * gx
+                lxx[(0, 1)] = lxx[(0, 1)] + hcoef * gx * gy
+                lxx[(0, 3)] = lxx[(0, 3)] + hcoef * gx * g3
+                lxx[(1, 1)] = lxx[(1, 1)] + hcoef * gy * gy
+                lxx[(1, 3)] = lxx[(1, 3)] + hcoef * gy * g3
+                lxx[(3, 3)] = lxx[(3, 3)] + hcoef * g3 * g3
+            return J, lx, lu, lxx, luu
+
+        def backward(UA, US, PX, PY, PV, PH, lx, lu, lxx, luu, lamb):
+            """Unrolled sparse Riccati recursion
+            (reference src/cilqr_solver.cpp:383-440)."""
+            r = _row
+            # jacobian pieces per step k (0..N-1) use state k, control k
+            # terminal value
+            Vx = [r(lx[i], N) for i in range(4)]
+            Vxx = {}
+            for (i, j), S in lxx.items():
+                Vxx[(i, j)] = r(S, N)
+            sym = lambda Vm, i, j: Vm[(i, j)] if (i, j) in Vm else Vm[(j, i)]
+            dV1 = jnp.zeros((1, LANES), f32)
+            dV2 = jnp.zeros((1, LANES), f32)
+            fail = jnp.zeros((1, LANES), jnp.bool_)
+            d_rows = [None] * N
+            K_rows = [None] * N
+            for k in range(N - 1, -1, -1):
+                v = r(PV, k)
+                yaw = r(PH, k)
+                stl = r(US, k)
+                if rear_center:
+                    cy_, sy_ = jnp.cos(yaw), jnp.sin(yaw)
+                    a02 = cy_ * dt
+                    a03 = -v * sy_ * dt
+                    a12 = sy_ * dt
+                    a13 = v * cy_ * dt
+                    a32 = jnp.tan(stl) * dt / wb
+                    b01 = jnp.zeros_like(v)
+                    b11 = jnp.zeros_like(v)
+                    cs2 = jnp.cos(stl)
+                    b31 = (v * dt / wb) / (cs2 * cs2)
+                else:
+                    beta = jnp.arctan(jnp.tan(stl) * 0.5)
+                    t2 = jnp.tan(stl) ** 2
+                    dbds = 0.5 * (1.0 + t2) / (1.0 + 0.25 * t2)
+                    cby, sby = jnp.cos(beta + yaw), jnp.sin(beta + yaw)
+                    a02 = cby * dt
+                    a03 = -v * sby * dt
+                    a12 = sby * dt
+                    a13 = v * cby * dt
+                    a32 = 2.0 * jnp.sin(beta) * dt / wb
+                    b01 = -v * sby * dt * dbds
+                    b11 = v * cby * dt * dbds
+                    b31 = (2.0 * v * dt / wb) * jnp.cos(beta) * dbds
+
+                V = lambda i, j: sym(Vxx, i, j)
+                # M1 = Vxx @ A (A = I + sparse); columns 2,3 modified
+                M1 = {}
+                for i in range(4):
+                    M1[(i, 0)] = V(i, 0)
+                    M1[(i, 1)] = V(i, 1)
+                    M1[(i, 2)] = a02 * V(i, 0) + a12 * V(i, 1) + V(i, 2) + a32 * V(i, 3)
+                    M1[(i, 3)] = a03 * V(i, 0) + a13 * V(i, 1) + V(i, 3)
+                # Qxx = lxx + A^T M1
+                Qxx = {}
+                for j in range(4):
+                    Qxx[(0, j)] = M1[(0, j)]
+                    Qxx[(1, j)] = M1[(1, j)]
+                    Qxx[(2, j)] = a02 * M1[(0, j)] + a12 * M1[(1, j)] + M1[(2, j)] + a32 * M1[(3, j)]
+                    Qxx[(3, j)] = a03 * M1[(0, j)] + a13 * M1[(1, j)] + M1[(3, j)]
+                for i in range(4):
+                    for j in range(4):
+                        lij = r(sym(lxx, min(i, j), max(i, j)), k)
+                        Qxx[(i, j)] = Qxx[(i, j)] + lij
+
+                Qx = [r(lx[0], k) + Vx[0],
+                      r(lx[1], k) + Vx[1],
+                      r(lx[2], k) + a02 * Vx[0] + a12 * Vx[1] + Vx[2] + a32 * Vx[3],
+                      r(lx[3], k) + a03 * Vx[0] + a13 * Vx[1] + Vx[3]]
+                Qu = [r(lu[0], k) + dt * Vx[2],
+                      r(lu[1], k) + b01 * Vx[0] + b11 * Vx[1] + b31 * Vx[3]]
+                # M2 = Vxx @ B
+                M2 = {}
+                for i in range(4):
+                    M2[(i, 0)] = dt * V(i, 2)
+                    M2[(i, 1)] = b01 * V(i, 0) + b11 * V(i, 1) + b31 * V(i, 3)
+                Quu00 = r(luu[(0, 0)], k) + dt * M2[(2, 0)] + lamb
+                Quu01 = r(luu[(0, 1)], k) + dt * M2[(2, 1)]
+                Quu11 = r(luu[(1, 1)], k) + b01 * M2[(0, 1)] + b11 * M2[(1, 1)] + b31 * M2[(3, 1)] + lamb
+                Qux = [[dt * M1[(2, j)] for j in range(4)],
+                       [b01 * M1[(0, j)] + b11 * M1[(1, j)] + b31 * M1[(3, j)]
+                        for j in range(4)]]
+
+                det = Quu00 * Quu11 - Quu01 * Quu01
+                pd = (Quu00 > 0) & (det > 0)
+                fail = fail | ~pd
+                dets = jnp.where(pd, det, f32(1.0))
+                i00 = Quu11 / dets
+                i01 = -Quu01 / dets
+                i11 = Quu00 / dets
+                d0 = -(i00 * Qu[0] + i01 * Qu[1])
+                d1 = -(i01 * Qu[0] + i11 * Qu[1])
+                Kr = [[-(i00 * Qux[0][j] + i01 * Qux[1][j]) for j in range(4)],
+                      [-(i01 * Qux[0][j] + i11 * Qux[1][j]) for j in range(4)]]
+                d_rows[k] = (d0, d1)
+                K_rows[k] = Kr
+
+                # V updates (reference src/cilqr_solver.cpp:427-432)
+                Qud = [Quu00 * d0 + Quu01 * d1, Quu01 * d0 + Quu11 * d1]
+                newVx = []
+                for j in range(4):
+                    newVx.append(Qx[j]
+                                 + Kr[0][j] * (Qud[0] + Qu[0])
+                                 + Kr[1][j] * (Qud[1] + Qu[1])
+                                 + Qux[0][j] * d0 + Qux[1][j] * d1)
+                Vx = newVx
+                newVxx = {}
+                for i in range(4):
+                    for j in range(i, 4):
+                        KQuuK = (Kr[0][i] * (Quu00 * Kr[0][j] + Quu01 * Kr[1][j])
+                                 + Kr[1][i] * (Quu01 * Kr[0][j] + Quu11 * Kr[1][j]))
+                        KQux = Kr[0][i] * Qux[0][j] + Kr[1][i] * Qux[1][j]
+                        QuxK = Qux[0][i] * Kr[0][j] + Qux[1][i] * Kr[1][j]
+                        newVxx[(i, j)] = Qxx[(i, j)] + KQuuK + KQux + QuxK
+                Vxx = newVxx
+                dV1 = dV1 + 0.5 * (d0 * Qud[0] + d1 * Qud[1])
+                dV2 = dV2 + d0 * Qu[0] + d1 * Qu[1]
+
+            D0 = jnp.concatenate([d_rows[k][0] for k in range(N)]
+                                 + [jnp.zeros((NH - N, LANES), f32)], axis=0)
+            D1 = jnp.concatenate([d_rows[k][1] for k in range(N)]
+                                 + [jnp.zeros((NH - N, LANES), f32)], axis=0)
+            Ks = []
+            for i in range(2):
+                for j in range(4):
+                    Ks.append(jnp.concatenate(
+                        [K_rows[k][i][j] for k in range(N)]
+                        + [jnp.zeros((NH - N, LANES), f32)], axis=0))
+            return D0, D1, Ks, dV1, dV2, fail
+
+        def forward(UA, US, PX, PY, PV, PH, D0, D1, Ks, alpha):
+            """Closed-loop trial rollout (reference src/cilqr_solver.cpp:442-461)."""
+            uas, uss = [], []
+            cx, cy, cv, ch = x0
+            nxs, nys, nvs, nhs = [cx], [cy], [cv], [ch]
+            for k in range(N):
+                e0 = cx - _row(PX, k)
+                e1 = cy - _row(PY, k)
+                e2 = cv - _row(PV, k)
+                e3 = ch - _row(PH, k)
+                na = (_row(UA, k) + _row(Ks[0], k) * e0 + _row(Ks[1], k) * e1
+                      + _row(Ks[2], k) * e2 + _row(Ks[3], k) * e3
+                      + alpha * _row(D0, k))
+                ns = (_row(US, k) + _row(Ks[4], k) * e0 + _row(Ks[5], k) * e1
+                      + _row(Ks[6], k) * e2 + _row(Ks[7], k) * e3
+                      + alpha * _row(D1, k))
+                uas.append(na)
+                uss.append(ns)
+                cx, cy, cv, ch = propagate(cx, cy, cv, ch, na, ns)
+                nxs.append(cx)
+                nys.append(cy)
+                nvs.append(cv)
+                nhs.append(ch)
+            return (_stack(uas), _stack(uss), _stack(nxs), _stack(nys),
+                    _stack(nvs), _stack(nhs))
+
+        # -- solve --------------------------------------------------------
+        # while_loop carries must not be constant-folded values: Mosaic pins
+        # the carry layout to the (fully replicated) constant layout and
+        # cannot relayout the body's lane-varying outputs back into it.
+        # Anchor every carried init to lane-varying data instead.
+        lane0 = x0[0] * 0.0  # (1, 128) zeros, lane-offset layout
+        zslab = row_iota.astype(f32) * 0.0 + lane0  # (NH, 128) zeros
+        UA0 = zslab
+        US0 = zslab
+        PX0, PY0, PV0, PH0 = rollout(UA0, US0)
+        RKX0, RKY0, RKH0 = project(PX0, PY0)
+
+        def iter_cond(st):
+            it = st[0]
+            active_f = st[1]
+            return (it < max_iter) & (jnp.max(active_f) > 0.5)
+
+        def iter_body(st):
+            (it, active_f, lamb, status, conv_ff, ovf_ff, iters,
+             UA, US, PX, PY, PV, PH, RKX, RKY, RKH) = st
+            # carried masks travel as f32 rows (Mosaic cannot yield i1
+            # vectors from scf loops); rehydrate to bool locally
+            active = active_f > 0.5
+            conv_f = conv_ff > 0.5
+            ovf_f = ovf_ff > 0.5
+            ori_J, lx, lu, lxx, luu = cost_and_derivs(
+                UA, US, PX, PY, PV, PH, RKX, RKY, RKH)
+            D0, D1, Ks, dV1, dV2, bp_fail = backward(
+                UA, US, PX, PY, PV, PH, lx, lu, lxx, luu, lamb)
+
+            # line search: early-exit while over trials
+            def ls_cond(ls):
+                t = ls[0]
+                ls_done_f = ls[1]
+                return (t < n_alphas) & (jnp.min(ls_done_f) < 0.5)
+
+            def ls_body(ls):
+                (t, ls_done_f, acc_f2, convf_f2, small_f2, j_hit,
+                 BUA, BUS, BPX, BPY, BPV, BPH, BRX, BRY, BRH) = ls
+                ls_done = ls_done_f > 0.5
+                acc = acc_f2 > 0.5
+                convf = convf_f2 > 0.5
+                small = small_f2 > 0.5
+                alpha = jnp.exp2(-t.astype(f32))
+                NUA, NUS, NPX, NPY, NPV, NPH = forward(
+                    UA, US, PX, PY, PV, PH, D0, D1, Ks, alpha)
+                TRX, TRY, TRH = project(NPX, NPY)
+                nJ = total_cost(NUA, NUS, NPX, NPY, NPV, NPH, TRX, TRY, TRH)
+                decay = ori_J - nJ
+                is_first = t == 0
+                conv_now = is_first & (jnp.abs(decay) < w(_CONV)) & ~ls_done
+                approx = -(alpha * alpha * dV1 + alpha * dV2)
+                ratio = jnp.where(approx != 0, decay / approx, f32(jnp.inf))
+                acc_now = (~conv_now) & ~ls_done & (decay > 0) & (
+                    (approx < 0) | (ratio > w(_ACCEPT)))
+                take = acc_now
+                BUA = jnp.where(take, NUA, BUA)
+                BUS = jnp.where(take, NUS, BUS)
+                BPX = jnp.where(take, NPX, BPX)
+                BPY = jnp.where(take, NPY, BPY)
+                BPV = jnp.where(take, NPV, BPV)
+                BPH = jnp.where(take, NPH, BPH)
+                BRX = jnp.where(take, TRX, BRX)
+                BRY = jnp.where(take, TRY, BRY)
+                BRH = jnp.where(take, TRH, BRH)
+                small = small | (acc_now & ~is_first)
+                return (t + 1, (ls_done | conv_now | acc_now).astype(f32),
+                        (acc | acc_now).astype(f32),
+                        (convf | conv_now).astype(f32), small.astype(f32),
+                        j_hit,
+                        BUA, BUS, BPX, BPY, BPV, BPH, BRX, BRY, BRH)
+
+            fz = lane0  # lane-anchored 0.0 row (False as f32)
+            ls0 = (jnp.asarray(0, jnp.int32),
+                   (bp_fail | ~active).astype(f32), fz, fz, fz, fz,
+                   UA, US, PX, PY, PV, PH, RKX, RKY, RKH)
+            (_, _, ls_acc_f, ls_conv_f, ls_small_f, _,
+             BUA, BUS, BPX, BPY, BPV, BPH, BRX, BRY, BRH) = lax.while_loop(
+                ls_cond, ls_body, ls0)
+            ls_acc = ls_acc_f > 0.5
+            ls_conv = ls_conv_f > 0.5
+            ls_small = ls_small_f > 0.5
+
+            accepted = active & ~bp_fail & ls_acc
+            converged_now = active & ~bp_fail & ls_conv
+            exhausted = active & ~bp_fail & ~ls_acc & ~ls_conv
+            bp_failed = active & bp_fail
+
+            sel = lambda n, o: jnp.where(accepted, n, o)
+            UA2, US2 = sel(BUA, UA), sel(BUS, US)
+            PX2, PY2, PV2, PH2 = sel(BPX, PX), sel(BPY, PY), sel(BPV, PV), sel(BPH, PH)
+            RKX2, RKY2, RKH2 = sel(BRX, RKX), sel(BRY, RKY), sel(BRH, RKH)
+
+            status2 = jnp.where(
+                bp_failed, f32(SolveStatus.BACKWARD_PASS_FAIL),
+                jnp.where(converged_now, f32(SolveStatus.CONVERGED),
+                          jnp.where(exhausted, f32(SolveStatus.FORWARD_PASS_FAIL),
+                                    jnp.where(ls_small & accepted,
+                                              f32(SolveStatus.FORWARD_PASS_SMALL_STEP),
+                                              f32(SolveStatus.RUNNING)))))
+            status2 = jnp.where(active, status2, status)
+            is_fail = bp_failed | exhausted
+            lamb2 = jnp.where(
+                is_fail, jnp.maximum(w(_LAMP), lamb * w(_LAMP)),
+                jnp.where(active & (status2 == f32(SolveStatus.RUNNING)),
+                          lamb * w(_LDECAY), lamb))
+            overflow_now = active & (lamb2 > w(_LMAX))
+            done_now = overflow_now | converged_now
+            iters2 = iters + active.astype(f32)
+            return (it + 1, (active & ~done_now).astype(f32), lamb2, status2,
+                    (conv_f | converged_now).astype(f32),
+                    (ovf_f | overflow_now).astype(f32), iters2,
+                    UA2, US2, PX2, PY2, PV2, PH2, RKX2, RKY2, RKH2)
+
+        ones = lane0 + 1.0  # lane-anchored 1.0 row (True as f32)
+        st0 = (jnp.asarray(0, jnp.int32), ones, lane0 + w(_ILAMB),
+               lane0, lane0, lane0,
+               lane0, UA0, US0, PX0, PY0, PV0, PH0, RKX0, RKY0, RKH0)
+        stf = lax.while_loop(iter_cond, iter_body, st0)
+        (_, _, lambf, statusf, convf, ovff, itersf,
+         UAf, USf, PXf, PYf, PVf, PHf, RKXf, RKYf, RKHf) = stf
+
+        final_J = total_cost(UAf, USf, PXf, PYf, PVf, PHf, RKXf, RKYf, RKHf)
+
+        u_out[0:NH, :] = UAf
+        u_out[NH:2 * NH, :] = USf
+        x_out[0:NH, :] = PXf
+        x_out[NH:2 * NH, :] = PYf
+        x_out[2 * NH:3 * NH, :] = PVf
+        x_out[3 * NH:4 * NH, :] = PHf
+        stats_out[0:1, :] = itersf
+        stats_out[1:2, :] = statusf
+        stats_out[2:3, :] = convf
+        stats_out[3:4, :] = ovff
+        stats_out[4:5, :] = final_J
+        stats_out[5:6, :] = lambf
+        stats_out[6:7, :] = jnp.zeros((1, LANES), f32)
+        stats_out[7:8, :] = jnp.zeros((1, LANES), f32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "window", "interpret"),
+)
+def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
+                       window: int = 640, interpret: bool = False):
+    """Batched CILQR solve via the fused kernel.
+
+    Args mirror :func:`ilqr_tpu.solvers.cilqr.solve_batch` (cold start,
+    barrier mode). x0_b: (B, 4); scenario_b: Scenario with leading batch
+    axis. B is padded to a multiple of 128 internally.
+
+    Returns (u (B, N, 2), x (B, N+1, 4), SolveStats).
+    """
+    if cfg.solve_type != "barrier":
+        raise NotImplementedError("fused kernel supports barrier mode")
+    N, M = cfg.N, max(cfg.num_obstacles, 1)
+    assert N + 1 <= NH
+    f32 = jnp.float32
+    x0_b = jnp.asarray(x0_b, f32)
+    B = x0_b.shape[0]
+    Bp = -(-B // LANES) * LANES
+    W = window
+
+    ref = jnp.asarray(scenario_b.ref_line, f32)  # (B, P, 4)
+    P = ref.shape[1]
+    # per-row window: center on the ego's initial nearest index
+    d2 = (ref[:, :, 0] - x0_b[:, None, 0]) ** 2 + (ref[:, :, 1] - x0_b[:, None, 1]) ** 2
+    c = jnp.argmin(d2, axis=1)
+    start = jnp.clip(c - W_BACK, 0, max(P - W, 0))
+    gidx = start[:, None] + jnp.arange(W)[None, :]
+    gidx = jnp.minimum(gidx, P - 1)
+    win = jnp.take_along_axis(ref, gidx[:, :, None], axis=1)  # (B, W, 4)
+
+    obs = jnp.asarray(scenario_b.obs_preds, f32)  # (B, M0, N+1, 3)
+    if cfg.num_obstacles == 0:
+        obs = jnp.full((B, 1, N + 1, 3), 1e6, f32)
+    # pad horizon rows to NH
+    obs = jnp.pad(obs, ((0, 0), (0, 0), (0, NH - (N + 1)), (0, 0)),
+                  constant_values=1e6)
+
+    def pad_b(a):
+        return jnp.pad(a, ((0, Bp - B),) + ((0, 0),) * (a.ndim - 1))
+
+    x0_in = jnp.concatenate(
+        [x0_b, jnp.broadcast_to(scenario_b.road_borders, (B, 2)).astype(f32),
+         jnp.broadcast_to(jnp.asarray(scenario_b.ref_velo, f32).reshape(B, -1)[:, :1], (B, 1)),
+         jnp.zeros((B, 1), f32)], axis=1)  # (B, 8)
+    x0_in = pad_b(x0_in).T  # (8, Bp)
+    rx = pad_b(win[:, :, 0]).T  # (W, Bp)
+    ry = pad_b(win[:, :, 1]).T
+    ryaw = pad_b(win[:, :, 2]).T
+    ox = pad_b(obs[:, :, :, 0].reshape(B, M * NH)).T  # (M*NH, Bp)
+    oy = pad_b(obs[:, :, :, 1].reshape(B, M * NH)).T
+    oyaw = pad_b(obs[:, :, :, 2].reshape(B, M * NH)).T
+
+    wt = jnp.zeros((_NWTS, 1), f32)
+    vals = {
+        _DT: w.dt, _WB: w.wheelbase, _WIDTH: w.width, _LENGTH: w.length,
+        _DSAFE: w.d_safe, _VMAX: w.velo_max, _VMIN: w.velo_min,
+        _AMAX: w.acc_max, _AMIN: w.acc_min, _STL: w.stl_lim,
+        _WPOS: w.w_pos, _WVEL: w.w_vel, _WYAW: w.w_yaw, _WACC: w.w_acc,
+        _WSTL: w.w_stl, _SQ1: w.state_exp_q1, _SQ2: w.state_exp_q2,
+        _OQ1: w.obstacle_exp_q1, _OQ2: w.obstacle_exp_q2,
+        _ILAMB: w.init_lamb, _LDECAY: w.lamb_decay, _LAMP: w.lamb_amplify,
+        _LMAX: w.max_lamb, _CONV: w.convergence_threshold,
+        _ACCEPT: w.accept_step_threshold, _ECLIP: w.exp_clip,
+    }
+    for i, v in vals.items():
+        wt = wt.at[i, 0].set(jnp.asarray(v, f32))
+
+    n_alphas = _alpha_count(cfg.min_alpha)
+    kernel = _build_kernel(N, M, W, cfg.max_iter, n_alphas,
+                           cfg.reference_point == "rear_center")
+
+    grid = (Bp // LANES,)
+    bspec = lambda rows: pl.BlockSpec((rows, LANES), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM)
+    u_out, x_out, stats_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_NWTS, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            bspec(8), bspec(W), bspec(W), bspec(W),
+            bspec(M * NH), bspec(M * NH), bspec(M * NH),
+        ],
+        out_specs=[bspec(2 * NH), bspec(4 * NH), bspec(8)],
+        out_shape=[
+            jax.ShapeDtypeStruct((2 * NH, Bp), f32),
+            jax.ShapeDtypeStruct((4 * NH, Bp), f32),
+            jax.ShapeDtypeStruct((8, Bp), f32),
+        ],
+        interpret=interpret,
+    )(wt, x0_in, rx, ry, ryaw, ox, oy, oyaw)
+
+    u = jnp.stack([u_out[0:N, :B], u_out[NH:NH + N, :B]], axis=-1)
+    u = jnp.moveaxis(u, 1, 0)  # (B, N, 2)
+    xs = jnp.stack([x_out[0:N + 1, :B], x_out[NH:NH + N + 1, :B],
+                    x_out[2 * NH:2 * NH + N + 1, :B],
+                    x_out[3 * NH:3 * NH + N + 1, :B]], axis=-1)
+    xs = jnp.moveaxis(xs, 1, 0)  # (B, N+1, 4)
+    stats = SolveStats(
+        iters=stats_out[0, :B].astype(jnp.int32),
+        status=stats_out[1, :B].astype(jnp.int32),
+        converged=stats_out[2, :B] > 0.5,
+        lamb_overflow=stats_out[3, :B] > 0.5,
+        final_cost=stats_out[4, :B],
+        final_lamb=stats_out[5, :B],
+    )
+    return u, xs, stats

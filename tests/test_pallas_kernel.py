@@ -1,0 +1,68 @@
+"""Fused Pallas CILQR kernel vs the XLA solver (interpret mode on CPU).
+
+Full-size interpret runs are prohibitively slow on CPU, so the parity check
+runs the same kernel code at a reduced horizon; the kernel is
+shape-polymorphic over N, and the TPU-scale behavior is exercised by
+bench.py on hardware.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ilqr_tpu.config import GlobalConfig
+from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
+from ilqr_tpu.sim.scenario import build_scenario_setup, perturbed_initial_states
+from ilqr_tpu.solvers.cilqr import solve
+from ilqr_tpu.types import CILQRConfig, CILQRWeights
+
+from tests.conftest import CONFIG_DIR
+
+
+@pytest.fixture(scope="module")
+def small_problem():
+    gc = GlobalConfig.from_file(os.path.join(CONFIG_DIR, "scenario_two_straight.yaml"))
+    st = build_scenario_setup(gc)
+    cfg = dataclasses.replace(CILQRConfig.from_global_config(gc, max_iter=8), N=6)
+    w = CILQRWeights.from_global_config(gc, dtype=jnp.float32)
+    scenario = st.device_scenario(tick=0, horizon=cfg.N, dtype=jnp.float32)
+    B = 8
+    x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, B, seed=0), jnp.float32)
+    scen_b = jax.tree.map(lambda a: jnp.stack([a] * B), scenario)
+    return cfg, w, x0_b, scen_b
+
+
+def test_kernel_matches_xla_solver(small_problem):
+    cfg, w, x0_b, scen_b = small_problem
+    u_k, x_k, stats_k = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                           interpret=True)
+    f = jax.jit(jax.vmap(solve, in_axes=(None, None, 0, 0, None)),
+                static_argnums=0)
+    u_r, x_r, stats_r, _ = f(cfg, w, x0_b, scen_b, None)
+    np.testing.assert_array_equal(np.asarray(stats_k.iters), np.asarray(stats_r.iters))
+    np.testing.assert_array_equal(np.asarray(stats_k.status), np.asarray(stats_r.status))
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stats_k.final_cost),
+                               np.asarray(stats_r.final_cost), rtol=1e-4)
+
+
+def test_kernel_rejects_alm_mode(small_problem):
+    cfg, w, x0_b, scen_b = small_problem
+    cfg_alm = dataclasses.replace(cfg, solve_type="alm")
+    with pytest.raises(NotImplementedError):
+        cilqr_solve_pallas(cfg_alm, w, x0_b, scen_b, interpret=True)
+
+
+def test_kernel_pads_batch_to_lane_multiple(small_problem):
+    cfg, w, x0_b, scen_b = small_problem
+    # B=8 is far from a multiple of 128: outputs must still be (8, ...)
+    u_k, x_k, stats_k = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                           interpret=True)
+    assert u_k.shape == (8, cfg.N, 2)
+    assert x_k.shape == (8, cfg.N + 1, 4)
+    assert stats_k.iters.shape == (8,)
