@@ -30,10 +30,11 @@ def build(batch: int, dtype=jnp.float32):
     from ilqr_tpu.solvers.cilqr import solve
     from ilqr_tpu.types import CILQRConfig, CILQRWeights
 
+    impl = os.environ.get("BENCH_IMPL", "kernel")  # "kernel" | "xla"
     here = os.path.dirname(os.path.abspath(__file__))
     gc = GlobalConfig.from_file(os.path.join(here, "configs", "scenario_two_straight.yaml"))
     st = build_scenario_setup(gc)
-    cfg = CILQRConfig.from_global_config(gc, projection="hier")
+    cfg = CILQRConfig.from_global_config(gc)
     w = CILQRWeights.from_global_config(gc, dtype=dtype)
     scenario = st.device_scenario(tick=0, dtype=dtype)
     x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, batch, seed=0), dtype=dtype)
@@ -53,7 +54,14 @@ def build(batch: int, dtype=jnp.float32):
         def run():
             u, x, stats, summary = fn(w_d, x0_d, scen_d)
             return stats.iters, summary["converged_frac"]
+    elif impl == "kernel" and jax.default_backend() != "cpu":
+        from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
+
+        def run():
+            u, x, stats = cilqr_solve_pallas(cfg, w, x0_b, scen_b)
+            return stats.iters, jnp.mean(stats.converged.astype(jnp.float32))
     else:
+        cfg = CILQRConfig.from_global_config(gc, line_search_width=4)
         vsolve = jax.jit(
             jax.vmap(solve, in_axes=(None, None, 0, 0, None)), static_argnums=0
         )
