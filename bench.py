@@ -57,8 +57,12 @@ def build(batch: int, dtype=jnp.float32):
     elif impl == "kernel" and jax.default_backend() != "cpu":
         from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
 
+        # 384-sample window validated on this workload: convergence stats
+        # identical to the full reference line (see kernel docstring)
+        window = int(os.environ.get("BENCH_WINDOW", "384"))
+
         def run():
-            u, x, stats = cilqr_solve_pallas(cfg, w, x0_b, scen_b)
+            u, x, stats = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=window)
             return stats.iters, jnp.mean(stats.converged.astype(jnp.float32))
     else:
         cfg = CILQRConfig.from_global_config(gc, line_search_width=4)
@@ -74,7 +78,7 @@ def build(batch: int, dtype=jnp.float32):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    batch = int(os.environ.get("BENCH_BATCH", "8192"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     run, n_dev = build(batch)
 

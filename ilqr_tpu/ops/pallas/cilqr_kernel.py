@@ -628,7 +628,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
     static_argnames=("cfg", "window", "interpret"),
 )
 def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
-                       window: int = 640, interpret: bool = False):
+                       window: int = 512, interpret: bool = False):
     """Batched CILQR solve via the fused kernel.
 
     Args mirror :func:`ilqr_tpu.solvers.cilqr.solve_batch` (cold start,
@@ -636,6 +636,14 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     axis. B is padded to a multiple of 128 internally.
 
     Returns (u (B, N, 2), x (B, N+1, 4), SolveStats).
+
+    ``window`` is the per-scenario reference-line span (0.1 m samples: 64
+    behind the ego's initial projection, window-64 ahead) every projection
+    searches. It must cover everything the planned trajectories can reach
+    (~ realized speed x N x dt / 0.1 m + margin); too-small windows
+    silently distort the road-border/tracking costs -- on the shipped
+    scenarios, 384 reproduces the full-line convergence statistics exactly
+    while 256 does not, so the default keeps a safety margin above 384.
     """
     if cfg.solve_type != "barrier":
         raise NotImplementedError("fused kernel supports barrier mode")

@@ -1,0 +1,100 @@
+"""Riccati passes: sequential scan semantics + parallel-in-time equivalence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ilqr_tpu.ops.riccati import backward_pass, forward_pass
+from ilqr_tpu.ops.riccati_pscan import parallel_lqr_backward
+
+
+def _random_lq(rng, N=16, nx=4, nu=2):
+    A = jnp.asarray(np.eye(nx) + 0.05 * rng.normal(size=(N, nx, nx)))
+    B = jnp.asarray(0.1 * rng.normal(size=(N, nx, nu)))
+    l_x = jnp.asarray(rng.normal(size=(N + 1, nx)))
+    l_u = jnp.asarray(rng.normal(size=(N, nu)))
+    M = rng.normal(size=(N + 1, nx, nx))
+    l_xx = jnp.asarray(M @ np.transpose(M, (0, 2, 1)) + 0.5 * np.eye(nx))
+    Mu = rng.normal(size=(N, nu, nu))
+    l_uu = jnp.asarray(Mu @ np.transpose(Mu, (0, 2, 1)) + 0.5 * np.eye(nu))
+    return A, B, l_x, l_u, l_xx, l_uu
+
+
+def test_backward_pass_solves_lqr_optimality(rng):
+    """d from the backward pass zeroes the gradient of the LQ objective."""
+    A, B, l_x, l_u, l_xx, l_uu = _random_lq(rng, N=10)
+    res = backward_pass(A, B, l_x, l_u, l_xx, l_uu, jnp.float64(0.0))
+    assert not bool(res.fail)
+    # on an LQ problem, one Newton step from u=0 is optimal: the open-loop
+    # sequence obtained by rolling d through the gains must satisfy the
+    # Pontryagin stationarity condition. Verify via the value recursion:
+    # at each step Quu d + Qu = 0 by construction -- recompute and check.
+    V_x, V_xx = l_x[-1], l_xx[-1]
+    for i in range(A.shape[0] - 1, -1, -1):
+        Qu = l_u[i] + B[i].T @ V_x
+        Quu = l_uu[i] + B[i].T @ V_xx @ B[i]
+        Qux = B[i].T @ V_xx @ A[i]
+        np.testing.assert_allclose(
+            np.asarray(Quu @ res.d[i] + Qu), 0.0, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(Quu @ res.K[i] + Qux), 0.0, atol=1e-9)
+        Qx = l_x[i] + A[i].T @ V_x
+        Qxx = l_xx[i] + A[i].T @ V_xx @ A[i]
+        V_x = Qx - Qux.T @ np.linalg.solve(np.asarray(Quu), np.asarray(Qu))
+        V_xx = Qxx - Qux.T @ np.linalg.solve(np.asarray(Quu), np.asarray(Qux))
+
+
+def test_backward_pass_flags_indefinite_quu(rng):
+    A, B, l_x, l_u, l_xx, l_uu = _random_lq(rng, N=6)
+    l_uu = l_uu.at[3].set(jnp.asarray([[-1.0, 0.0], [0.0, -1.0]]))
+    res = backward_pass(A, B, l_x, l_u, l_xx, l_uu, jnp.float64(0.0))
+    assert bool(res.fail)
+
+
+@pytest.mark.parametrize("N", [4, 16, 64, 256])
+def test_parallel_backward_matches_sequential(rng, N):
+    A, B, l_x, l_u, l_xx, l_uu = _random_lq(rng, N=N)
+    seq = backward_pass(A, B, l_x, l_u, l_xx, l_uu, jnp.float64(0.0))
+    par = parallel_lqr_backward(A, B, l_x, l_u, l_xx, l_uu)
+    np.testing.assert_allclose(np.asarray(par.d), np.asarray(seq.d),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(par.K), np.asarray(seq.K),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(float(par.dV1), float(seq.dV1), rtol=1e-8)
+    np.testing.assert_allclose(float(par.dV2), float(seq.dV2), rtol=1e-8)
+
+
+def test_parallel_backward_on_bicycle_jacobians(rng):
+    """Real model Jacobians from a rollout, not just random matrices."""
+    from ilqr_tpu.models.bicycle import kinematic_jacobians, rollout
+
+    N = 40
+    x0 = jnp.asarray([0.0, 0.0, 6.0, 0.05])
+    u = jnp.asarray(rng.normal(size=(N, 2)) * np.array([0.5, 0.05]))
+    x = rollout(x0, u, 0.1, 2.8, "gravity_center")
+    A, B = kinematic_jacobians(x[:-1], u, 0.1, 2.8, "gravity_center")
+    l_x = jnp.asarray(rng.normal(size=(N + 1, 4)))
+    l_u = jnp.asarray(rng.normal(size=(N, 2)))
+    l_xx = jnp.broadcast_to(jnp.diag(jnp.asarray([2.0, 2.0, 2.0, 40.0])), (N + 1, 4, 4))
+    l_uu = jnp.broadcast_to(jnp.diag(jnp.asarray([1.0, 40.0])), (N, 2, 2))
+    seq = backward_pass(A, B, l_x, l_u, l_xx, l_uu, jnp.float64(0.0))
+    par = parallel_lqr_backward(A, B, l_x, l_u, l_xx, l_uu)
+    np.testing.assert_allclose(np.asarray(par.d), np.asarray(seq.d),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(par.K), np.asarray(seq.K),
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_forward_pass_alpha_zero_reproduces_trajectory(rng):
+    from ilqr_tpu.models.bicycle import rollout
+
+    N = 12
+    x0 = jnp.asarray([0.0, 0.0, 5.0, 0.0])
+    u = jnp.asarray(rng.normal(size=(N, 2)) * 0.1)
+    x = rollout(x0, u, 0.1, 2.8, "gravity_center")
+    d = jnp.asarray(rng.normal(size=(N, 2)))
+    K = jnp.asarray(rng.normal(size=(N, 2, 4)))
+    nu, nx = forward_pass(u, x, d, K, jnp.float64(0.0), 0.1, 2.8, "gravity_center")
+    np.testing.assert_allclose(np.asarray(nu), np.asarray(u), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(nx), np.asarray(x), atol=1e-12)
