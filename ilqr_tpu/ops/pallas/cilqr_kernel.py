@@ -68,7 +68,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
     """Returns the kernel body function (closed over static shapes)."""
     f32 = jnp.float32
 
-    def kernel(wts_ref, x0_ref, rx_ref, ry_ref, ryaw_ref,
+    def kernel(wts_ref, x0_ref, uinit_ref, rx_ref, ry_ref, ryaw_ref,
                ox_ref, oy_ref, oyaw_ref,
                u_out, x_out, stats_out):
         row_iota = lax.broadcasted_iota(jnp.int32, (NH, LANES), 0)
@@ -487,9 +487,10 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
         # cannot relayout the body's lane-varying outputs back into it.
         # Anchor every carried init to lane-varying data instead.
         lane0 = x0[0] * 0.0  # (1, 128) zeros, lane-offset layout
-        zslab = row_iota.astype(f32) * 0.0 + lane0  # (NH, 128) zeros
-        UA0 = zslab
-        US0 = zslab
+        # warm-start initial controls (zeros for a cold start); input reads
+        # have materialized layouts, so they are safe as carried values
+        UA0 = uinit_ref[0:NH, :]
+        US0 = uinit_ref[NH:2 * NH, :]
         PX0, PY0, PV0, PH0 = rollout(UA0, US0)
         RKX0, RKY0, RKH0 = project(PX0, PY0)
 
@@ -628,7 +629,8 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
     static_argnames=("cfg", "window", "interpret"),
 )
 def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
-                       window: int = 512, interpret: bool = False):
+                       window: int = 512, interpret: bool = False,
+                       u_init=None):
     """Batched CILQR solve via the fused kernel.
 
     Args mirror :func:`ilqr_tpu.solvers.cilqr.solve_batch` (cold start,
@@ -680,6 +682,13 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
          jnp.broadcast_to(jnp.asarray(scenario_b.ref_velo, f32).reshape(B, -1)[:, :1], (B, 1)),
          jnp.zeros((B, 1), f32)], axis=1)  # (B, 8)
     x0_in = pad_b(x0_in).T  # (8, Bp)
+    if u_init is None:
+        uinit = jnp.zeros((2 * NH, Bp), f32)
+    else:
+        u_init = jnp.asarray(u_init, f32)  # (B, N, 2): warm-start controls
+        ui = jnp.zeros((B, 2 * NH), f32)
+        ui = ui.at[:, :N].set(u_init[:, :, 0]).at[:, NH:NH + N].set(u_init[:, :, 1])
+        uinit = pad_b(ui).T
     rx = pad_b(win[:, :, 0]).T  # (W, Bp)
     ry = pad_b(win[:, :, 1]).T
     ryaw = pad_b(win[:, :, 2]).T
@@ -714,7 +723,7 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         grid=grid,
         in_specs=[
             pl.BlockSpec((_NWTS, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            bspec(8), bspec(W), bspec(W), bspec(W),
+            bspec(8), bspec(2 * NH), bspec(W), bspec(W), bspec(W),
             bspec(M * NH), bspec(M * NH), bspec(M * NH),
         ],
         out_specs=[bspec(2 * NH), bspec(4 * NH), bspec(8)],
@@ -724,7 +733,7 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
             jax.ShapeDtypeStruct((8, Bp), f32),
         ],
         interpret=interpret,
-    )(wt, x0_in, rx, ry, ryaw, ox, oy, oyaw)
+    )(wt, x0_in, uinit, rx, ry, ryaw, ox, oy, oyaw)
 
     u = jnp.stack([u_out[0:N, :B], u_out[NH:NH + N, :B]], axis=-1)
     u = jnp.moveaxis(u, 1, 0)  # (B, N, 2)

@@ -88,3 +88,41 @@ def run_mpc_scan(cfg: CILQRConfig, w: CILQRWeights, x0, ref_line, ref_velo,
     )
     ego_traj = jnp.concatenate([x0[None], egos], axis=0)
     return ego_traj, us, stats
+
+
+def run_mpc_kernel(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
+                   ref_velo_b, obs_full_b, road_borders_b, ticks: int,
+                   window: int = 512, interpret: bool = False):
+    """Batched receding-horizon episodes on the fused Pallas kernel.
+
+    x0_b (B, 4); ref_line_b (B, P, 4); obs_full_b (B, M, T, 3) with
+    T >= ticks + N + 1; warm start (the reference's shifted-previous-u,
+    src/cilqr_solver.cpp:163-180) is applied when cfg.use_last_solution.
+
+    Returns (ego (ticks+1, B, 4), u_hist (ticks, B, N, 2), stats pytree
+    with leading ticks axis).
+    """
+    from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
+
+    ego = jnp.asarray(x0_b, jnp.float32)
+    u_prev = None
+    egos, us, stats_hist = [ego], [], []
+    for t in range(ticks):
+        scenario = Scenario(
+            ref_line=ref_line_b,
+            ref_velo=ref_velo_b,
+            obs_preds=obs_full_b[:, :, t: t + cfg.N + 1],
+            road_borders=road_borders_b,
+        )
+        u_init = None
+        if cfg.use_last_solution and u_prev is not None:
+            u_init = jnp.concatenate([u_prev[:, 1:], u_prev[:, -1:]], axis=1)
+        u, x, st = cilqr_solve_pallas(cfg, w, ego, scenario, window=window,
+                                      interpret=interpret, u_init=u_init)
+        ego = x[:, 1]
+        u_prev = u
+        egos.append(ego)
+        us.append(u)
+        stats_hist.append(st)
+    stats = jax.tree.map(lambda *xs: jnp.stack(xs), *stats_hist)
+    return jnp.stack(egos), jnp.stack(us), stats
