@@ -33,6 +33,21 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
+def shard_batch_multihost(mesh: Mesh, local_tree, axis_name: str = DATA_AXIS):
+    """Assemble a *global* batched pytree from per-process local rows.
+
+    Each process passes its own shard (leading axis = local rows); the
+    result is a global array row-partitioned over ``axis_name`` across all
+    processes -- the multi-host feeding path (single-process
+    :func:`shard_batch` only places process-local data).
+    """
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(sharding, a),
+        local_tree,
+    )
+
+
 def aggregate_stats(stats: SolveStats, axis_name: Optional[str] = None):
     """Global scalar summary of a batch of SolveStats.
 
