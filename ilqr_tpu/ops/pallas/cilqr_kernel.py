@@ -51,7 +51,8 @@ W_BACK = 64  # window rows behind the ego's initial projection
 # weight vector layout (rows of the (32, 1) SMEM input)
 (_DT, _WB, _WIDTH, _LENGTH, _DSAFE, _VMAX, _VMIN, _AMAX, _AMIN, _STL,
  _WPOS, _WVEL, _WYAW, _WACC, _WSTL, _SQ1, _SQ2, _OQ1, _OQ2,
- _ILAMB, _LDECAY, _LAMP, _LMAX, _CONV, _ACCEPT, _ECLIP) = range(26)
+ _ILAMB, _LDECAY, _LAMP, _LMAX, _CONV, _ACCEPT, _ECLIP,
+ _ALM_GAMMA, _MAX_RHO, _MAX_MU, _RHO_INIT) = range(30)
 _NWTS = 32
 
 
@@ -64,9 +65,18 @@ def _alpha_count(min_alpha: float) -> int:
 
 
 def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
-                  rear_center: bool):
-    """Returns the kernel body function (closed over static shapes)."""
+                  rear_center: bool, use_alm: bool):
+    """Returns the kernel body function (closed over static shapes).
+
+    In ALM mode the per-constraint dual state (mu slabs, one per constraint
+    column in the reference's layout, plus the scalar rho) lives in the
+    iteration carry; duals update on line-search exhaustion exactly like
+    the reference (src/cilqr_solver.cpp:377-379, 622-676). ALM runs cold
+    per solve (the reference's default reset, :88-93); ALM + warm-start
+    carries stay on the XLA path.
+    """
     f32 = jnp.float32
+    C = 8 + 2 * M  # constraint columns (ALM dual layout)
 
     def kernel(wts_ref, x0_ref, uinit_ref, rx_ref, ry_ref, ryaw_ref,
                ox_ref, oy_ref, oyaw_ref,
@@ -162,6 +172,26 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
         def barrier(c, q1, q2):
             return q1 * jnp.exp(jnp.minimum(q2 * c, eclip))
 
+        def pen_val(c, q1, q2, mu, rho):
+            """Penalty value for one constraint column (barrier or ALM,
+            include/cilqr_solver.hpp:80-83)."""
+            if use_alm:
+                shifted = c + mu / rho
+                return jnp.where(shifted > 0, 0.5 * rho * shifted * shifted, 0.0)
+            return barrier(c, q1, q2)
+
+        def pen3(c, q1, q2, mu, rho):
+            """(value, gamma, eta): gradient = gamma * c', Hessian =
+            eta * c' c'^T (src/cilqr_solver.cpp:692-713)."""
+            if use_alm:
+                shifted = c + mu / rho
+                act = shifted > 0
+                gam = jnp.where(act, rho * shifted, 0.0)
+                val = jnp.where(act, 0.5 * rho * shifted * shifted, 0.0)
+                return val, gam, gam
+            b = barrier(c, q1, q2)
+            return b, q2 * b, q2 * q2 * b
+
         def front_rear(PX, PY, PH):
             cph, sph = jnp.cos(PH), jnp.sin(PH)
             if rear_center:
@@ -198,7 +228,26 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                     outs.append((c, gx, gy))
             return outs
 
-        def total_cost(UA, US, PX, PY, PV, PH, RKX, RKY, RKH):
+        def _constraint_slabs(UA, US, PX, PY, PV, PH, RKX, RKY, RKH):
+            """Constraint value slabs in ALM column order
+            (src/cilqr_solver.cpp:622-676); also returns lateral geometry."""
+            lat = lateral(PX, PY, RKX, RKY, RKH)
+            cur_d = lat[0]
+            cs = [
+                UA - w(_AMAX), w(_AMIN) - UA, US - w(_STL), -w(_STL) - US,
+                PV - w(_VMAX), w(_VMIN) - PV,
+                cur_d - up_bound, lo_bound - cur_d,
+            ]
+            fr = front_rear(PX, PY, PH)
+            obs = obs_margins(fr[0], fr[1], fr[2], fr[3])
+            cs.extend(c for (c, _, _) in obs)
+            return cs, obs, lat, fr
+
+        def _mu_of(mus, i):
+            return mus[i] if use_alm else None
+
+        def total_cost(UA, US, PX, PY, PV, PH, RKX, RKY, RKH,
+                       rho=None, mus=None):
             dx = PX - RKX
             dy = PY - RKY
             dv = PV - ref_velo
@@ -212,31 +261,28 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                 jnp.where(ctrl_mask,
                           w(_WACC) * UA * UA + w(_WSTL) * US * US, 0.0),
                 axis=0, keepdims=True)
-            # control bound barriers (slab rows r correspond to step k=r+1)
+            cs, _, _, _ = _constraint_slabs(UA, US, PX, PY, PV, PH,
+                                            RKX, RKY, RKH)
+            # control-bound columns live on rows r = k-1, state/obstacle
+            # columns on rows k = 1..N
             jb = jnp.sum(
                 jnp.where(ctrl_mask,
-                          barrier(UA - w(_AMAX), sq1, sq2)
-                          + barrier(w(_AMIN) - UA, sq1, sq2)
-                          + barrier(US - w(_STL), sq1, sq2)
-                          + barrier(-w(_STL) - US, sq1, sq2), 0.0),
+                          sum(pen_val(cs[i], sq1, sq2, _mu_of(mus, i), rho)
+                              for i in range(4)), 0.0),
                 axis=0, keepdims=True)
-            cur_d, _, _, _, _ = lateral(PX, PY, RKX, RKY, RKH)
             jb = jb + jnp.sum(
                 jnp.where(state_mask,
-                          barrier(PV - w(_VMAX), sq1, sq2)
-                          + barrier(w(_VMIN) - PV, sq1, sq2)
-                          + barrier(cur_d - up_bound, sq1, sq2)
-                          + barrier(lo_bound - cur_d, sq1, sq2), 0.0),
+                          sum(pen_val(cs[i], sq1, sq2, _mu_of(mus, i), rho)
+                              for i in range(4, 8))
+                          + sum(pen_val(cs[i], oq1, oq2, _mu_of(mus, i), rho)
+                                for i in range(8, C)), 0.0),
                 axis=0, keepdims=True)
-            FX, FY, RXc, RYc, _, _ = front_rear(PX, PY, PH)
-            for (c, _, _) in obs_margins(FX, FY, RXc, RYc):
-                jb = jb + jnp.sum(
-                    jnp.where(state_mask, barrier(c, oq1, oq2), 0.0),
-                    axis=0, keepdims=True)
             return quad + jb
 
-        def cost_and_derivs(UA, US, PX, PY, PV, PH, RKX, RKY, RKH):
-            """J plus l_x (4 slabs), l_u (2), l_xx (10 sym), l_uu (3 sym).
+        def cost_and_derivs(UA, US, PX, PY, PV, PH, RKX, RKY, RKH,
+                            rho=None, mus=None):
+            """J plus l_x (4 slabs), l_u (2), l_xx (10 sym), l_uu (3 sym),
+            and (ALM) the dual precompute mu_next.
 
             Mirrors reference src/cilqr_solver.cpp:463-690; l_ux == 0.
             """
@@ -244,7 +290,6 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             dy = PY - RKY
             dv = PV - ref_velo
             dh = PH - RKH
-            J = total_cost(UA, US, PX, PY, PV, PH, RKX, RKY, RKH)
 
             lx = [2.0 * w(_WPOS) * dx, 2.0 * w(_WPOS) * dy,
                   2.0 * w(_WVEL) * dv, 2.0 * w(_WYAW) * dh]
@@ -263,33 +308,48 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
 
             sm = state_mask.astype(f32)
             cm = ctrl_mask.astype(f32)
+            cs, obs, lat, fr = _constraint_slabs(UA, US, PX, PY, PV, PH,
+                                                 RKX, RKY, RKH)
+            q12 = lambda i: (sq1, sq2) if i < 8 else (oq1, oq2)
+            vgh = [pen3(cs[i], *q12(i), _mu_of(mus, i), rho) for i in range(C)]
 
-            # control bound barriers: gradients are +-e0 / +-e1
-            b_au = barrier(UA - w(_AMAX), sq1, sq2) * cm
-            b_al = barrier(w(_AMIN) - UA, sq1, sq2) * cm
-            b_su = barrier(US - w(_STL), sq1, sq2) * cm
-            b_sl = barrier(-w(_STL) - US, sq1, sq2) * cm
-            lu[0] = lu[0] + sq2 * (b_au - b_al)
-            lu[1] = lu[1] + sq2 * (b_su - b_sl)
-            luu[(0, 0)] = luu[(0, 0)] + sq2 * sq2 * (b_au + b_al)
-            luu[(1, 1)] = luu[(1, 1)] + sq2 * sq2 * (b_su + b_sl)
+            # J from the shared values (== total_cost on this trajectory)
+            quad = jnp.sum(
+                jnp.where(quad_mask,
+                          w(_WPOS) * (dx * dx + dy * dy)
+                          + w(_WVEL) * dv * dv + w(_WYAW) * dh * dh, 0.0),
+                axis=0, keepdims=True) + jnp.sum(
+                jnp.where(ctrl_mask,
+                          w(_WACC) * UA * UA + w(_WSTL) * US * US, 0.0),
+                axis=0, keepdims=True)
+            J = quad + jnp.sum(
+                jnp.where(ctrl_mask, sum(vgh[i][0] for i in range(4)), 0.0),
+                axis=0, keepdims=True) + jnp.sum(
+                jnp.where(state_mask, sum(vgh[i][0] for i in range(4, C)), 0.0),
+                axis=0, keepdims=True)
+
+            # control bound columns: gradients are +-e0 / +-e1
+            g_au, h_au = vgh[0][1] * cm, vgh[0][2] * cm
+            g_al, h_al = vgh[1][1] * cm, vgh[1][2] * cm
+            g_su, h_su = vgh[2][1] * cm, vgh[2][2] * cm
+            g_sl, h_sl = vgh[3][1] * cm, vgh[3][2] * cm
+            lu[0] = lu[0] + (g_au - g_al)
+            lu[1] = lu[1] + (g_su - g_sl)
+            luu[(0, 0)] = luu[(0, 0)] + (h_au + h_al)
+            luu[(1, 1)] = luu[(1, 1)] + (h_su + h_sl)
 
             # velocity bounds: gradient +-e2
-            b_vu = barrier(PV - w(_VMAX), sq1, sq2) * sm
-            b_vl = barrier(w(_VMIN) - PV, sq1, sq2) * sm
-            lx[2] = lx[2] + sq2 * (b_vu - b_vl)
-            lxx[(2, 2)] = lxx[(2, 2)] + sq2 * sq2 * (b_vu + b_vl)
+            lx[2] = lx[2] + (vgh[4][1] - vgh[5][1]) * sm
+            lxx[(2, 2)] = lxx[(2, 2)] + (vgh[4][2] + vgh[5][2]) * sm
 
             # road borders: gradient (+-gx, +-gy, 0, 0)
-            cur_d, d_sign, ddx, ddy, h = lateral(PX, PY, RKX, RKY, RKH)
+            cur_d, d_sign, ddx, ddy, h = lat
             hs = jnp.where(h > 0, h, f32(1.0))
             flip = jnp.where(d_sign < 0, f32(-1.0), f32(1.0))
             gpx = jnp.where(h > 0, flip * ddx / hs, 0.0)
             gpy = jnp.where(h > 0, flip * ddy / hs, 0.0)
-            b_pu = barrier(cur_d - up_bound, sq1, sq2) * sm
-            b_pl = barrier(lo_bound - cur_d, sq1, sq2) * sm
-            gsum = sq2 * (b_pu - b_pl)  # lower uses the negated gradient
-            hsum = sq2 * sq2 * (b_pu + b_pl)
+            gsum = (vgh[6][1] - vgh[7][1]) * sm  # lower negates the gradient
+            hsum = (vgh[6][2] + vgh[7][2]) * sm
             lx[0] = lx[0] + gsum * gpx
             lx[1] = lx[1] + gsum * gpy
             lxx[(0, 0)] = lxx[(0, 0)] + hsum * gpx * gpx
@@ -297,7 +357,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             lxx[(1, 1)] = lxx[(1, 1)] + hsum * gpy * gpy
 
             # obstacle ellipses: chain through front/rear point jacobians
-            FX, FY, RXc, RYc, cph, sph = front_rear(PX, PY, PH)
+            cph, sph = fr[4], fr[5]
             if rear_center:
                 f_yx, f_yy = -wb * sph, wb * cph
                 r_yx = jnp.zeros_like(sph)
@@ -305,14 +365,12 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             else:
                 f_yx, f_yy = -0.5 * wb * sph, 0.5 * wb * cph
                 r_yx, r_yy = 0.5 * wb * sph, -0.5 * wb * cph
-            outs = obs_margins(FX, FY, RXc, RYc)
-            for idx, (c, gx, gy) in enumerate(outs):
+            for idx, (c, gx, gy) in enumerate(obs):
                 is_front = (idx % 2) == 0
                 jyx = f_yx if is_front else r_yx
                 jyy = f_yy if is_front else r_yy
-                b = barrier(c, oq1, oq2) * sm
-                gcoef = oq2 * b
-                hcoef = oq2 * oq2 * b
+                gcoef = vgh[8 + idx][1] * sm
+                hcoef = vgh[8 + idx][2] * sm
                 g3 = jyx * gx + jyy * gy  # d c / d yaw
                 lx[0] = lx[0] + gcoef * gx
                 lx[1] = lx[1] + gcoef * gy
@@ -323,7 +381,19 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                 lxx[(1, 1)] = lxx[(1, 1)] + hcoef * gy * gy
                 lxx[(1, 3)] = lxx[(1, 3)] + hcoef * gy * g3
                 lxx[(3, 3)] = lxx[(3, 3)] + hcoef * g3 * g3
-            return J, lx, lu, lxx, luu
+
+            if use_alm:
+                # dual precompute (src/cilqr_solver.cpp:622-676); valid rows
+                # only, pads keep the old value
+                mu_next = []
+                for i in range(C):
+                    valid = ctrl_mask if i < 4 else state_mask
+                    mn = jnp.clip(mus[i] + rho * cs[i], 0.0, w(_MAX_MU))
+                    mu_next.append(jnp.where(valid, mn, mus[i]))
+                mu_next = tuple(mu_next)
+            else:
+                mu_next = ()
+            return J, lx, lu, lxx, luu, mu_next
 
         def backward(UA, US, PX, PY, PV, PH, lx, lu, lxx, luu, lamb):
             """Unrolled sparse Riccati recursion
@@ -501,14 +571,14 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
 
         def iter_body(st):
             (it, active_f, lamb, status, conv_ff, ovf_ff, iters,
-             UA, US, PX, PY, PV, PH, RKX, RKY, RKH) = st
+             UA, US, PX, PY, PV, PH, RKX, RKY, RKH, rho, mus) = st
             # carried masks travel as f32 rows (Mosaic cannot yield i1
             # vectors from scf loops); rehydrate to bool locally
             active = active_f > 0.5
             conv_f = conv_ff > 0.5
             ovf_f = ovf_ff > 0.5
-            ori_J, lx, lu, lxx, luu = cost_and_derivs(
-                UA, US, PX, PY, PV, PH, RKX, RKY, RKH)
+            ori_J, lx, lu, lxx, luu, mu_next = cost_and_derivs(
+                UA, US, PX, PY, PV, PH, RKX, RKY, RKH, rho, mus)
             D0, D1, Ks, dV1, dV2, bp_fail = backward(
                 UA, US, PX, PY, PV, PH, lx, lu, lxx, luu, lamb)
 
@@ -529,7 +599,8 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                 NUA, NUS, NPX, NPY, NPV, NPH = forward(
                     UA, US, PX, PY, PV, PH, D0, D1, Ks, alpha)
                 TRX, TRY, TRH = project(NPX, NPY)
-                nJ = total_cost(NUA, NUS, NPX, NPY, NPV, NPH, TRX, TRY, TRH)
+                nJ = total_cost(NUA, NUS, NPX, NPY, NPV, NPH, TRX, TRY, TRH,
+                                rho, mus)
                 decay = ori_J - nJ
                 is_first = t == 0
                 conv_now = is_first & (jnp.abs(decay) < w(_CONV)) & ~ls_done
@@ -591,20 +662,37 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             overflow_now = active & (lamb2 > w(_LMAX))
             done_now = overflow_now | converged_now
             iters2 = iters + active.astype(f32)
+            if use_alm:
+                # dual update only on line-search exhaustion
+                # (src/cilqr_solver.cpp:377-379)
+                mus2 = tuple(jnp.where(exhausted, mn, m)
+                             for mn, m in zip(mu_next, mus))
+                rho2 = jnp.where(
+                    exhausted,
+                    jnp.minimum((1.0 + w(_ALM_GAMMA)) * rho, w(_MAX_RHO)),
+                    rho)
+            else:
+                mus2, rho2 = mus, rho
             return (it + 1, (active & ~done_now).astype(f32), lamb2, status2,
                     (conv_f | converged_now).astype(f32),
                     (ovf_f | overflow_now).astype(f32), iters2,
-                    UA2, US2, PX2, PY2, PV2, PH2, RKX2, RKY2, RKH2)
+                    UA2, US2, PX2, PY2, PV2, PH2, RKX2, RKY2, RKH2,
+                    rho2, mus2)
 
         ones = lane0 + 1.0  # lane-anchored 1.0 row (True as f32)
+        zslab = row_iota.astype(f32) * 0.0 + lane0  # lane-anchored 0 slab
+        rho0 = lane0 + w(_RHO_INIT)
+        mus0 = tuple(zslab for _ in range(C)) if use_alm else ()
         st0 = (jnp.asarray(0, jnp.int32), ones, lane0 + w(_ILAMB),
                lane0, lane0, lane0,
-               lane0, UA0, US0, PX0, PY0, PV0, PH0, RKX0, RKY0, RKH0)
+               lane0, UA0, US0, PX0, PY0, PV0, PH0, RKX0, RKY0, RKH0,
+               rho0, mus0)
         stf = lax.while_loop(iter_cond, iter_body, st0)
         (_, _, lambf, statusf, convf, ovff, itersf,
-         UAf, USf, PXf, PYf, PVf, PHf, RKXf, RKYf, RKHf) = stf
+         UAf, USf, PXf, PYf, PVf, PHf, RKXf, RKYf, RKHf, rhof, musf) = stf
 
-        final_J = total_cost(UAf, USf, PXf, PYf, PVf, PHf, RKXf, RKYf, RKHf)
+        final_J = total_cost(UAf, USf, PXf, PYf, PVf, PHf, RKXf, RKYf, RKHf,
+                             rhof, musf)
 
         u_out[0:NH, :] = UAf
         u_out[NH:2 * NH, :] = USf
@@ -647,8 +735,10 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     scenarios, 384 reproduces the full-line convergence statistics exactly
     while 256 does not, so the default keeps a safety margin above 384.
     """
-    if cfg.solve_type != "barrier":
-        raise NotImplementedError("fused kernel supports barrier mode")
+    if cfg.solve_type == "alm" and cfg.use_last_solution:
+        raise NotImplementedError(
+            "fused kernel runs ALM cold per solve; ALM + warm-start carries "
+            "use the XLA path (ilqr_tpu.solvers.cilqr.solve)")
     N, M = cfg.N, max(cfg.num_obstacles, 1)
     assert N + 1 <= NH
     f32 = jnp.float32
@@ -707,13 +797,16 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         _ILAMB: w.init_lamb, _LDECAY: w.lamb_decay, _LAMP: w.lamb_amplify,
         _LMAX: w.max_lamb, _CONV: w.convergence_threshold,
         _ACCEPT: w.accept_step_threshold, _ECLIP: w.exp_clip,
+        _ALM_GAMMA: w.alm_gamma, _MAX_RHO: w.max_rho, _MAX_MU: w.max_mu,
+        _RHO_INIT: w.alm_rho_init,
     }
     for i, v in vals.items():
         wt = wt.at[i, 0].set(jnp.asarray(v, f32))
 
     n_alphas = _alpha_count(cfg.min_alpha)
     kernel = _build_kernel(N, M, W, cfg.max_iter, n_alphas,
-                           cfg.reference_point == "rear_center")
+                           cfg.reference_point == "rear_center",
+                           cfg.solve_type == "alm")
 
     grid = (Bp // LANES,)
     bspec = lambda rows: pl.BlockSpec((rows, LANES), lambda i: (0, i),

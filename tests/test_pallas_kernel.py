@@ -51,11 +51,47 @@ def test_kernel_matches_xla_solver(small_problem):
                                np.asarray(stats_r.final_cost), rtol=1e-4)
 
 
-def test_kernel_rejects_alm_mode(small_problem):
+def test_kernel_matches_xla_gravity_center_many_obstacles():
+    """two_borrow: gravity-center dynamics branch + 4 obstacles."""
+    gc = GlobalConfig.from_file(os.path.join(CONFIG_DIR, "scenario_two_borrow.yaml"))
+    st = build_scenario_setup(gc)
+    cfg = dataclasses.replace(CILQRConfig.from_global_config(gc, max_iter=6), N=6)
+    assert cfg.reference_point == "gravity_center"
+    w = CILQRWeights.from_global_config(gc, dtype=jnp.float32)
+    scenario = st.device_scenario(tick=0, horizon=cfg.N, dtype=jnp.float32)
+    B = 4
+    x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, B, seed=1), jnp.float32)
+    scen_b = jax.tree.map(lambda a: jnp.stack([a] * B), scenario)
+    u_k, x_k, stats_k = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                           interpret=True)
+    f = jax.jit(jax.vmap(solve, in_axes=(None, None, 0, 0, None)),
+                static_argnums=0)
+    u_r, x_r, stats_r, _ = f(cfg, w, x0_b, scen_b, None)
+    np.testing.assert_array_equal(np.asarray(stats_k.iters), np.asarray(stats_r.iters))
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_r), atol=1e-3)
+
+
+def test_kernel_alm_mode_matches_xla(small_problem):
     cfg, w, x0_b, scen_b = small_problem
     cfg_alm = dataclasses.replace(cfg, solve_type="alm")
+    u_k, x_k, stats_k = cilqr_solve_pallas(cfg_alm, w, x0_b, scen_b,
+                                           window=256, interpret=True)
+    f = jax.jit(jax.vmap(solve, in_axes=(None, None, 0, 0, None)),
+                static_argnums=0)
+    u_r, x_r, stats_r, _ = f(cfg_alm, w, x0_b, scen_b, None)
+    np.testing.assert_array_equal(np.asarray(stats_k.iters),
+                                  np.asarray(stats_r.iters))
+    np.testing.assert_array_equal(np.asarray(stats_k.status),
+                                  np.asarray(stats_r.status))
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_r), atol=1e-4)
+
+
+def test_kernel_rejects_alm_with_warm_start(small_problem):
+    cfg, w, x0_b, scen_b = small_problem
+    cfg_bad = dataclasses.replace(cfg, solve_type="alm", use_last_solution=True)
     with pytest.raises(NotImplementedError):
-        cilqr_solve_pallas(cfg_alm, w, x0_b, scen_b, interpret=True)
+        cilqr_solve_pallas(cfg_bad, w, x0_b, scen_b, interpret=True)
 
 
 def test_kernel_warm_start_matches_xla(small_problem):
