@@ -33,7 +33,7 @@ four shipped scenarios); warm starting and ALM stay on the XLA path.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import numpy as np
 import jax
@@ -120,6 +120,13 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
         OTH = oyaw_ref[:, :]
 
         # -- primitives ---------------------------------------------------
+        def _beta_trig(us):
+            """sin/cos of beta = arctan(tan(us)/2) without atan (Mosaic has
+            no atan lowering): sin = (t/2)/sqrt(1+t^2/4), cos = 1/sqrt(...)."""
+            t = jnp.tan(us)
+            inv = lax.rsqrt(1.0 + 0.25 * t * t)
+            return 0.5 * t * inv, inv
+
         def propagate(px, py, pv, pyaw, ua, us):
             if rear_center:
                 nx = px + pv * jnp.cos(pyaw) * dt
@@ -127,11 +134,14 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                 nv = pv + ua * dt
                 nyaw = pyaw + pv * jnp.tan(us) * dt / wb
             else:
-                beta = jnp.arctan(jnp.tan(us) * 0.5)
-                nx = px + pv * jnp.cos(beta + pyaw) * dt
-                ny = py + pv * jnp.sin(beta + pyaw) * dt
+                sinb, cosb = _beta_trig(us)
+                cy_, sy_ = jnp.cos(pyaw), jnp.sin(pyaw)
+                cby = cosb * cy_ - sinb * sy_  # cos(beta + yaw)
+                sby = sinb * cy_ + cosb * sy_  # sin(beta + yaw)
+                nx = px + pv * cby * dt
+                ny = py + pv * sby * dt
                 nv = pv + ua * dt
-                nyaw = pyaw + 2.0 * pv * jnp.sin(beta) * dt / wb
+                nyaw = pyaw + 2.0 * pv * sinb * dt / wb
             return nx, ny, nv, nyaw
 
         def _stack(rows):
@@ -427,18 +437,20 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                     cs2 = jnp.cos(stl)
                     b31 = (v * dt / wb) / (cs2 * cs2)
                 else:
-                    beta = jnp.arctan(jnp.tan(stl) * 0.5)
+                    sinb, cosb = _beta_trig(stl)
                     t2 = jnp.tan(stl) ** 2
                     dbds = 0.5 * (1.0 + t2) / (1.0 + 0.25 * t2)
-                    cby, sby = jnp.cos(beta + yaw), jnp.sin(beta + yaw)
+                    cy_, sy_ = jnp.cos(yaw), jnp.sin(yaw)
+                    cby = cosb * cy_ - sinb * sy_
+                    sby = sinb * cy_ + cosb * sy_
                     a02 = cby * dt
                     a03 = -v * sby * dt
                     a12 = sby * dt
                     a13 = v * cby * dt
-                    a32 = 2.0 * jnp.sin(beta) * dt / wb
+                    a32 = 2.0 * sinb * dt / wb
                     b01 = -v * sby * dt * dbds
                     b11 = v * cby * dt * dbds
-                    b31 = (2.0 * v * dt / wb) * jnp.cos(beta) * dbds
+                    b31 = (2.0 * v * dt / wb) * cosb * dbds
 
                 V = lambda i, j: sym(Vxx, i, j)
                 # M1 = Vxx @ A (A = I + sparse); columns 2,3 modified

@@ -131,6 +131,34 @@ def test_vmap_batch_equals_single(two_straight):
     np.testing.assert_array_equal(np.asarray(u_b[0]), np.asarray(u_b[3]))
 
 
+def test_yaml_param_sweep_via_batched_weights(two_straight):
+    """Weights are a traced pytree: sweeping config values (here w_yaw and
+    stl_lim) batches in one compiled program — the 'initial states x yaml
+    params' sweep axis of the north star."""
+    gc, st = two_straight
+    cfg = CILQRConfig.from_global_config(gc, max_iter=15)
+    w = CILQRWeights.from_global_config(gc, dtype=jnp.float64)
+    B = 3
+    w_b = jax.tree.map(lambda a: jnp.stack([a] * B), w)
+    w_b = w_b.replace(w_yaw=jnp.asarray([20.0, 5.0, 80.0]),
+                      stl_lim=jnp.asarray([0.12, 0.3, 0.05]))
+    scenario = st.device_scenario(tick=0, dtype=jnp.float64)
+    scen_b = jax.tree.map(lambda a: jnp.stack([a] * B), scenario)
+    x0_b = jnp.stack([jnp.asarray(st.ego_x0)] * B)
+    u_b, x_b, stats_b, _ = jax.jit(
+        jax.vmap(solve, in_axes=(None, 0, 0, 0, None)), static_argnums=0
+    )(cfg, w_b, x0_b, scen_b, None)
+    # per-row result equals a single solve with that row's weights
+    for i in range(B):
+        w_i = jax.tree.map(lambda a: a[i], w_b)
+        u_s, _, _, _ = jax.jit(solve, static_argnums=0)(
+            cfg, w_i, x0_b[i], scenario, None)
+        np.testing.assert_allclose(np.asarray(u_b[i]), np.asarray(u_s),
+                                   atol=1e-9)
+    # tighter steering limit produces smaller peak steering
+    assert float(jnp.abs(u_b[2][:, 1]).max()) <= float(jnp.abs(u_b[1][:, 1]).max()) + 1e-9
+
+
 def test_solver_reduces_cost_and_respects_bounds(two_straight):
     gc, st = two_straight
     cfg = CILQRConfig.from_global_config(gc)
