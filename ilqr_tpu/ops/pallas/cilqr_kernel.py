@@ -217,8 +217,9 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             h = jnp.sqrt(dx * dx + dy * dy)
             return sgn * h, d_sign, dx, dy, h
 
-        def obs_margins(FX, FY, RXc, RYc):
-            """(margins, grads) for all obstacles against point slabs."""
+        def obs_margins(FX, FY, RXc, RYc, with_grads=True):
+            """(margin, grad_x, grad_y) per obstacle x {front, rear} point;
+            grads skipped (None) for value-only cost evaluations."""
             outs = []
             for j in range(M):
                 cxj = OX[j * NH:(j + 1) * NH]
@@ -231,16 +232,22 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                     xs = ct * ddx + st * ddy
                     ys = -st * ddx + ct * ddy
                     c = 1.0 - (xs * xs * inv_a2 + ys * ys * inv_b2)
-                    gxs = -2.0 * xs * inv_a2
-                    gys = -2.0 * ys * inv_b2
-                    gx = ct * gxs - st * gys
-                    gy = st * gxs + ct * gys
-                    outs.append((c, gx, gy))
+                    if with_grads:
+                        gxs = -2.0 * xs * inv_a2
+                        gys = -2.0 * ys * inv_b2
+                        gx = ct * gxs - st * gys
+                        gy = st * gxs + ct * gys
+                        outs.append((c, gx, gy))
+                    else:
+                        outs.append((c, None, None))
             return outs
 
-        def _constraint_slabs(UA, US, PX, PY, PV, PH, RKX, RKY, RKH):
+        def _constraint_slabs(UA, US, PX, PY, PV, PH, RKX, RKY, RKH,
+                              with_grads=True):
             """Constraint value slabs in ALM column order
-            (src/cilqr_solver.cpp:622-676); also returns lateral geometry."""
+            (src/cilqr_solver.cpp:622-676); also returns lateral geometry.
+            Value-only callers (line-search cost evals) skip the obstacle
+            gradient slabs."""
             lat = lateral(PX, PY, RKX, RKY, RKH)
             cur_d = lat[0]
             cs = [
@@ -249,7 +256,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                 cur_d - up_bound, lo_bound - cur_d,
             ]
             fr = front_rear(PX, PY, PH)
-            obs = obs_margins(fr[0], fr[1], fr[2], fr[3])
+            obs = obs_margins(fr[0], fr[1], fr[2], fr[3], with_grads)
             cs.extend(c for (c, _, _) in obs)
             return cs, obs, lat, fr
 
@@ -272,7 +279,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                           w(_WACC) * UA * UA + w(_WSTL) * US * US, 0.0),
                 axis=0, keepdims=True)
             cs, _, _, _ = _constraint_slabs(UA, US, PX, PY, PV, PH,
-                                            RKX, RKY, RKH)
+                                            RKX, RKY, RKH, with_grads=False)
             # control-bound columns live on rows r = k-1, state/obstacle
             # columns on rows k = 1..N
             jb = jnp.sum(

@@ -29,7 +29,7 @@ over a device mesh in ``ilqr_tpu.parallel``.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional, Sequence
+from typing import Any, NamedTuple, Optional
 
 import numpy as np
 
