@@ -164,16 +164,13 @@ def render_frame(ax, setup, ego_state, planned_x, control, tick: int,
     for c in setup.center_lines:
         ax.plot(c.x, c.y, "--k", linewidth=0.8)
 
-    # planned trajectory ribbon (get_boundary/get_closed_curve semantics,
-    # src/utils.cpp:441-473): fill between left/right offsets of the plan
+    # planned trajectory ribbon (reference src/motion_planning.cpp:199-201)
+    from ilqr_tpu.utils.geometry import get_boundary, get_closed_curve
+
     width = gc["vehicle/width"]
     length = gc["vehicle/length"]
-    px, py, pyaw = planned_x[1:, 0], planned_x[1:, 1], planned_x[1:, 3]
-    half = 0.7 * width / 2
-    lx, ly = px - half * np.sin(pyaw), py + half * np.cos(pyaw)
-    rx, ry = px + half * np.sin(pyaw), py - half * np.cos(pyaw)
-    ax.fill(np.concatenate([lx[::-1], rx]), np.concatenate([ly[::-1], ry]),
-            color="cyan", alpha=0.7)
+    curve = get_closed_curve(get_boundary(np.asarray(planned_x), width * 0.7))
+    ax.fill(curve[0], curve[1], color="cyan", alpha=0.7)
 
     ref_point = gc["vehicle/reference_point"]
     wb = gc["vehicle/wheelbase"]

@@ -1,0 +1,73 @@
+"""Visualization: sprite IO, geometry helpers, frame rendering (Agg)."""
+
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+from ilqr_tpu.utils.geometry import get_boundary, get_closed_curve
+from ilqr_tpu.viz.render import imread_mat, make_car_sprite
+
+
+def test_boundary_straight_line():
+    traj = np.zeros((5, 4))
+    traj[:, 0] = np.arange(5.0)  # straight along +x, yaw 0
+    b = get_boundary(traj, 2.0)
+    assert b.shape == (4, 4)  # first row skipped (reference quirk)
+    np.testing.assert_allclose(b[:, 1], 1.0, atol=1e-12)  # left at +1
+    np.testing.assert_allclose(b[:, 3], -1.0, atol=1e-12)  # right at -1
+    np.testing.assert_allclose(b[:, 0], np.arange(1.0, 5.0), atol=1e-12)
+
+
+def test_closed_curve_shape_and_order():
+    b = np.arange(16, dtype=float).reshape(4, 4)
+    c = get_closed_curve(b)
+    assert c.shape == (2, 8)
+    # first point is the LAST left point (reversed), last is last right point
+    np.testing.assert_allclose(c[:, 0], [b[-1, 0], b[-1, 1]])
+    np.testing.assert_allclose(c[:, -1], [b[-1, 2], b[-1, 3]])
+
+
+def test_sprite_roundtrip(tmp_path):
+    # write a tiny sprite in the reference's text format and read it back
+    path = tmp_path / "s.mat.txt"
+    data = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4) / 24.0
+    with open(path, "w") as f:
+        f.write("Convert from PNG\n2 3 4\n")
+        for row in data.reshape(-1, 4):
+            f.write(" ".join(str(v) for v in row) + "\n")
+    back = imread_mat(str(path))
+    np.testing.assert_allclose(back, data, atol=1e-6)
+    with pytest.raises(ValueError):
+        bad = tmp_path / "bad.txt"
+        bad.write_text("nope\n")
+        imread_mat(str(bad))
+
+
+def test_make_car_sprite_rgba():
+    s = make_car_sprite()
+    assert s.ndim == 3 and s.shape[2] == 4
+    assert s[:, :, 3].max() == 1.0  # opaque body
+    assert s[0, 0, 3] == 0.0  # transparent corners
+
+
+def test_render_frame_smoke():
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+    from ilqr_tpu.config import GlobalConfig
+    from ilqr_tpu.sim.scenario import build_scenario_setup
+    from ilqr_tpu.viz.render import render_frame
+    from tests.conftest import CONFIG_DIR
+
+    gc = GlobalConfig.from_file(os.path.join(CONFIG_DIR, "scenario_two_straight.yaml"))
+    st = build_scenario_setup(gc)
+    fig, ax = plt.subplots()
+    planned = np.tile(np.asarray([1.0, 0.0, 8.0, 0.0]), (31, 1))
+    planned[:, 0] += np.arange(31) * 0.8
+    render_frame(ax, st, st.ego_x0, planned, np.asarray([0.5, 0.01]), tick=0)
+    assert len(ax.images) >= 2  # car sprites + steering wheel blitted
+    plt.close(fig)
