@@ -161,14 +161,18 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                 rys.append(cy)
                 rvs.append(cv)
                 rhs.append(ch)
-            return _stack(rxs), _stack(rys), _stack(rvs), _stack(rhs)
+            return _stack(rxs), _stack(rys), _stack(rvs), _stack(rhs), rxs, rys
 
-        def project(PX, PY):
-            """Nearest window row per (step, lane): first-min one-hot."""
+        def project(pxr, pyr):
+            """Nearest window row per (step, lane): first-min one-hot.
+
+            Takes per-step (1, 128) position rows (length N+1 lists) so
+            rollout/forward outputs feed in without slab re-extraction.
+            """
             kxs, kys, khs = [], [], []
             for k in range(N + 1):
-                dx = rx - _row(PX, k)
-                dy = ry - _row(PY, k)
+                dx = rx - pxr[k]
+                dy = ry - pyr[k]
                 d2 = dx * dx + dy * dy
                 m = jnp.min(d2, axis=0, keepdims=True)
                 sel = jnp.where(d2 <= m, widx, jnp.int32(2**30))
@@ -532,19 +536,12 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                 dV1 = dV1 + 0.5 * (d0 * Qud[0] + d1 * Qud[1])
                 dV2 = dV2 + d0 * Qu[0] + d1 * Qu[1]
 
-            D0 = jnp.concatenate([d_rows[k][0] for k in range(N)]
-                                 + [jnp.zeros((NH - N, LANES), f32)], axis=0)
-            D1 = jnp.concatenate([d_rows[k][1] for k in range(N)]
-                                 + [jnp.zeros((NH - N, LANES), f32)], axis=0)
-            Ks = []
-            for i in range(2):
-                for j in range(4):
-                    Ks.append(jnp.concatenate(
-                        [K_rows[k][i][j] for k in range(N)]
-                        + [jnp.zeros((NH - N, LANES), f32)], axis=0))
-            return D0, D1, Ks, dV1, dV2, fail
+            # gains stay as per-step (1, 128) row lists: forward consumes
+            # them by index, so packing them into slabs (and re-extracting
+            # with masked reduces) would only add parasitic VPU work
+            return d_rows, K_rows, dV1, dV2, fail
 
-        def forward(UA, US, PX, PY, PV, PH, D0, D1, Ks, alpha):
+        def forward(UA, US, PX, PY, PV, PH, d_rows, K_rows, alpha):
             """Closed-loop trial rollout (reference src/cilqr_solver.cpp:442-461)."""
             uas, uss = [], []
             cx, cy, cv, ch = x0
@@ -554,12 +551,13 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                 e1 = cy - _row(PY, k)
                 e2 = cv - _row(PV, k)
                 e3 = ch - _row(PH, k)
-                na = (_row(UA, k) + _row(Ks[0], k) * e0 + _row(Ks[1], k) * e1
-                      + _row(Ks[2], k) * e2 + _row(Ks[3], k) * e3
-                      + alpha * _row(D0, k))
-                ns = (_row(US, k) + _row(Ks[4], k) * e0 + _row(Ks[5], k) * e1
-                      + _row(Ks[6], k) * e2 + _row(Ks[7], k) * e3
-                      + alpha * _row(D1, k))
+                Kr = K_rows[k]
+                na = (_row(UA, k) + Kr[0][0] * e0 + Kr[0][1] * e1
+                      + Kr[0][2] * e2 + Kr[0][3] * e3
+                      + alpha * d_rows[k][0])
+                ns = (_row(US, k) + Kr[1][0] * e0 + Kr[1][1] * e1
+                      + Kr[1][2] * e2 + Kr[1][3] * e3
+                      + alpha * d_rows[k][1])
                 uas.append(na)
                 uss.append(ns)
                 cx, cy, cv, ch = propagate(cx, cy, cv, ch, na, ns)
@@ -568,7 +566,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                 nvs.append(cv)
                 nhs.append(ch)
             return (_stack(uas), _stack(uss), _stack(nxs), _stack(nys),
-                    _stack(nvs), _stack(nhs))
+                    _stack(nvs), _stack(nhs), nxs, nys)
 
         # -- solve --------------------------------------------------------
         # while_loop carries must not be constant-folded values: Mosaic pins
@@ -580,8 +578,8 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
         # have materialized layouts, so they are safe as carried values
         UA0 = uinit_ref[0:NH, :]
         US0 = uinit_ref[NH:2 * NH, :]
-        PX0, PY0, PV0, PH0 = rollout(UA0, US0)
-        RKX0, RKY0, RKH0 = project(PX0, PY0)
+        PX0, PY0, PV0, PH0, pxr0, pyr0 = rollout(UA0, US0)
+        RKX0, RKY0, RKH0 = project(pxr0, pyr0)
 
         def iter_cond(st):
             it = st[0]
@@ -598,7 +596,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             ovf_f = ovf_ff > 0.5
             ori_J, lx, lu, lxx, luu, mu_next = cost_and_derivs(
                 UA, US, PX, PY, PV, PH, RKX, RKY, RKH, rho, mus)
-            D0, D1, Ks, dV1, dV2, bp_fail = backward(
+            d_rows, K_rows, dV1, dV2, bp_fail = backward(
                 UA, US, PX, PY, PV, PH, lx, lu, lxx, luu, lamb)
 
             # line search: early-exit while over trials
@@ -615,9 +613,9 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                 convf = convf_f2 > 0.5
                 small = small_f2 > 0.5
                 alpha = jnp.exp2(-t.astype(f32))
-                NUA, NUS, NPX, NPY, NPV, NPH = forward(
-                    UA, US, PX, PY, PV, PH, D0, D1, Ks, alpha)
-                TRX, TRY, TRH = project(NPX, NPY)
+                NUA, NUS, NPX, NPY, NPV, NPH, npxr, npyr = forward(
+                    UA, US, PX, PY, PV, PH, d_rows, K_rows, alpha)
+                TRX, TRY, TRH = project(npxr, npyr)
                 nJ = total_cost(NUA, NUS, NPX, NPY, NPV, NPH, TRX, TRY, TRH,
                                 rho, mus)
                 decay = ori_J - nJ
@@ -750,8 +748,9 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     behind the ego's initial projection, window-64 ahead) every projection
     searches. It must cover everything the planned trajectories can reach
     (~ realized speed x N x dt / 0.1 m + margin); too-small windows
-    silently distort the road-border/tracking costs -- on the shipped
-    scenarios, 384 reproduces the full-line convergence statistics exactly
+    silently distort the road-border/tracking costs -- on all four shipped
+    scenarios, 384 reproduces the full-line solutions and convergence
+    statistics (window=768 is bit-identical, tools/validate_kernel_tpu.py)
     while 256 does not, so the default keeps a safety margin above 384.
     """
     if cfg.solve_type == "alm" and cfg.use_last_solution:

@@ -71,6 +71,35 @@ def test_kernel_matches_xla_gravity_center_many_obstacles():
     np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_r), atol=1e-3)
 
 
+@pytest.mark.parametrize("name,max_iter,B", [
+    ("scenario_three_straight", 6, 4),  # 8 obstacles (densest constraint set)
+    ("scenario_three_bend", 6, 4),      # curved (S-bend) reference spline
+])
+def test_kernel_matches_xla_remaining_scenarios(name, max_iter, B):
+    """Kernel parity on the two scenario shapes the fixtures above miss:
+    M=8 obstacle slabs and a curved reference-line window."""
+    gc = GlobalConfig.from_file(os.path.join(CONFIG_DIR, name + ".yaml"))
+    st = build_scenario_setup(gc)
+    cfg = dataclasses.replace(
+        CILQRConfig.from_global_config(gc, max_iter=max_iter),
+        N=6, use_last_solution=False)
+    w = CILQRWeights.from_global_config(gc, dtype=jnp.float32)
+    scenario = st.device_scenario(tick=0, horizon=cfg.N, dtype=jnp.float32)
+    x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, B, seed=2),
+                       jnp.float32)
+    scen_b = jax.tree.map(lambda a: jnp.stack([a] * B), scenario)
+    u_k, x_k, stats_k = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                           interpret=True)
+    f = jax.jit(jax.vmap(solve, in_axes=(None, None, 0, 0, None)),
+                static_argnums=0)
+    u_r, x_r, stats_r, _ = f(cfg, w, x0_b, scen_b, None)
+    np.testing.assert_array_equal(np.asarray(stats_k.iters),
+                                  np.asarray(stats_r.iters))
+    np.testing.assert_array_equal(np.asarray(stats_k.status),
+                                  np.asarray(stats_r.status))
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_r), atol=1e-3)
+
+
 def test_kernel_alm_mode_matches_xla(small_problem):
     cfg, w, x0_b, scen_b = small_problem
     cfg_alm = dataclasses.replace(cfg, solve_type="alm")
