@@ -42,6 +42,7 @@ class ParallelBackwardResult(NamedTuple):
     K: jnp.ndarray  # (N, nu, nx)
     dV1: jnp.ndarray
     dV2: jnp.ndarray
+    fail: jnp.ndarray  # bool: any non-PD Quu along the horizon
 
 
 def _combine(e1, e2):
@@ -68,11 +69,21 @@ def _combine(e1, e2):
     return (A, C, J)
 
 
-def parallel_lqr_backward(A, B, l_x, l_u, l_xx, l_uu) -> ParallelBackwardResult:
+def parallel_lqr_backward(A, B, l_x, l_u, l_xx, l_uu,
+                          lamb=None) -> ParallelBackwardResult:
     """Drop-in for ops.riccati.backward_pass(..., lamb=0) with O(log N) depth.
 
     A (N,nx,nx), B (N,nx,nu), l_x (N+1,nx), l_u (N,nu), l_xx (N+1,nx,nx),
     l_uu (N,nu,nu).
+
+    ``lamb`` (optional scalar) applies the Levenberg regularizer to the
+    *gain* stage only (Quu + lamb I when solving for d/K and in dV1/dV2).
+    Unlike the sequential reference recursion (src/cilqr_solver.cpp:407-432),
+    the parallel value sweep composes *unregularized* optimal value maps, so
+    with lamb > 0 results differ from ops.riccati.backward_pass; they are
+    exactly equal at lamb == 0 (tests/test_riccati.py). This is the
+    long-horizon mode's trade: O(log N) depth for a lambda schedule that
+    steers the gains rather than the value function.
     """
     N, nx = A.shape[0], A.shape[-1]
     nu = B.shape[-1]
@@ -123,10 +134,15 @@ def parallel_lqr_backward(A, B, l_x, l_u, l_xx, l_uu) -> ParallelBackwardResult:
     # vectorized gains (reference Q-term assembly, src/cilqr_solver.cpp:400-424)
     Qu = l_u + jnp.einsum("kij,ki->kj", B, Vx_n)
     Quu = l_uu + jnp.einsum("kij,kil,klm->kjm", B, Vxx_n, B)
+    if lamb is not None:
+        Quu = Quu + lamb * jnp.eye(nu, dtype=dtype)
     Qux = jnp.einsum("kij,kil,klm->kjm", B, Vxx_n, A)
+    # non-PD detection matching the sequential pass's LLT check
+    # (src/cilqr_solver.cpp:415-420): cholesky yields NaN on non-PD blocks
+    fail = jnp.any(jnp.isnan(jnp.linalg.cholesky(Quu)))
     sol = jnp.linalg.solve(Quu, jnp.concatenate([Qu[..., None], Qux], axis=-1))
     d = -sol[..., 0]
     K = -sol[..., 1:]
     dV1 = 0.5 * jnp.einsum("ki,kij,kj->", d, Quu, d)
     dV2 = jnp.einsum("ki,ki->", d, Qu)
-    return ParallelBackwardResult(d, K, dV1, dV2)
+    return ParallelBackwardResult(d, K, dV1, dV2, fail)

@@ -41,6 +41,7 @@ from ilqr_tpu.config import GlobalConfig
 from ilqr_tpu.models.bicycle import kinematic_jacobians, rollout
 from ilqr_tpu.ops.cost import cost_and_derivatives, total_cost
 from ilqr_tpu.ops.riccati import backward_pass, forward_pass
+from ilqr_tpu.ops.riccati_pscan import parallel_lqr_backward
 from ilqr_tpu.types import (
     CILQRCarry,
     CILQRConfig,
@@ -211,7 +212,12 @@ def _solve_loop(cfg: CILQRConfig, w: CILQRWeights, u0, x_init,
                                              s.alm_rho, s.alm_mu)
         A, B = kinematic_jacobians(s.x[:-1], s.u, w.dt, w.wheelbase,
                                    cfg.reference_point)
-        bw = backward_pass(A, B, der.l_x, der.l_u, der.l_xx, der.l_uu, s.lamb)
+        if cfg.riccati_impl == "pscan":
+            bw = parallel_lqr_backward(A, B, der.l_x, der.l_u, der.l_xx,
+                                       der.l_uu, lamb=s.lamb)
+        else:
+            bw = backward_pass(A, B, der.l_x, der.l_u, der.l_xx, der.l_uu,
+                               s.lamb)
         ls = _line_search(cfg, w, s.u, s.x, bw.d, bw.K, ori_cost, bw.dV1,
                           bw.dV2, scenario, s.alm_rho, s.alm_mu)
 

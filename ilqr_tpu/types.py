@@ -56,6 +56,11 @@ class CILQRConfig:
     # line-search breadth: how many alphas are evaluated per lockstep round
     # (1 = the reference's sequential walk; results identical for any width)
     line_search_width: int = 4
+    # backward-pass implementation: "scan" = sequential O(N)-depth Riccati
+    # (exact reference semantics); "pscan" = parallel-in-time
+    # lax.associative_scan with O(log N) depth for long horizons (lambda
+    # regularizes gains only -- see ops/riccati_pscan.py)
+    riccati_impl: str = "scan"
 
     @property
     def num_constraints(self) -> int:

@@ -98,3 +98,49 @@ def test_forward_pass_alpha_zero_reproduces_trajectory(rng):
     nu, nx = forward_pass(u, x, d, K, jnp.float64(0.0), 0.1, 2.8, "gravity_center")
     np.testing.assert_allclose(np.asarray(nu), np.asarray(u), atol=1e-12)
     np.testing.assert_allclose(np.asarray(nx), np.asarray(x), atol=1e-12)
+
+
+def test_parallel_backward_flags_indefinite_quu(rng):
+    A, B, l_x, l_u, l_xx, l_uu = _random_lq(rng, N=6)
+    good = parallel_lqr_backward(A, B, l_x, l_u, l_xx, l_uu)
+    assert not bool(good.fail)
+    l_uu = l_uu.at[3].set(jnp.asarray([[-1.0, 0.0], [0.0, -1.0]]))
+    res = parallel_lqr_backward(A, B, l_x, l_u, l_xx, l_uu)
+    assert bool(res.fail)
+
+
+def test_cilqr_pscan_mode_matches_scan_at_zero_lamb():
+    """Full CILQR solve with riccati_impl="pscan" vs "scan": identical
+    iteration paths when lambda stays 0 (no regularization ever applied, so
+    the two backward passes are numerically-equal formulations)."""
+    import dataclasses
+    import os
+
+    from ilqr_tpu.config import GlobalConfig
+    from ilqr_tpu.sim.scenario import build_scenario_setup
+    from ilqr_tpu.solvers.cilqr import solve
+    from ilqr_tpu.types import CILQRConfig, CILQRWeights
+    from tests.conftest import CONFIG_DIR
+
+    gc = GlobalConfig.from_file(
+        os.path.join(CONFIG_DIR, "scenario_two_straight.yaml"))
+    st = build_scenario_setup(gc)
+    w = CILQRWeights.from_global_config(gc, dtype=jnp.float64)
+    w = w.replace(init_lamb=jnp.float64(0.0))
+    scenario = st.device_scenario(tick=0, horizon=12, dtype=jnp.float64)
+    x0 = jnp.asarray(st.ego_x0, jnp.float64)
+    outs = {}
+    for impl in ("scan", "pscan"):
+        cfg = dataclasses.replace(
+            CILQRConfig.from_global_config(gc, max_iter=20),
+            N=12, use_last_solution=False, riccati_impl=impl)
+        u, x, stats, _ = jax.jit(solve, static_argnums=0)(
+            cfg, w, x0, scenario, None)
+        outs[impl] = (np.asarray(u), np.asarray(x), int(stats.iters),
+                      int(stats.status))
+    assert outs["scan"][2] == outs["pscan"][2]
+    assert outs["scan"][3] == outs["pscan"][3]
+    np.testing.assert_allclose(outs["pscan"][0], outs["scan"][0],
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(outs["pscan"][1], outs["scan"][1],
+                               rtol=1e-6, atol=1e-8)
