@@ -48,6 +48,11 @@ LANES = 128
 NH = 32  # horizon slab sublanes (N = 30 -> rows 0..30 used)
 W_BACK = 64  # window rows behind the ego's initial projection
 
+# perf-attribution probe (results are WRONG when set; timing only):
+#   CILQR_KERNEL_PROBE=noproj  -- skip line-search trial projections
+import os as _os
+_PROBE = _os.environ.get("CILQR_KERNEL_PROBE", "")
+
 # weight vector layout (rows of the (32, 1) SMEM input)
 (_DT, _WB, _WIDTH, _LENGTH, _DSAFE, _VMAX, _VMIN, _AMAX, _AMIN, _STL,
  _WPOS, _WVEL, _WYAW, _WACC, _WSTL, _SQ1, _SQ2, _OQ1, _OQ2,
@@ -316,16 +321,18 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                   2.0 * w(_WVEL) * dv, 2.0 * w(_WYAW) * dh]
             lu = [2.0 * w(_WACC) * UA, 2.0 * w(_WSTL) * US]
             zero = jnp.zeros((NH, LANES), f32)
-            # l_xx as the 10 upper-triangle components (00,01,02,03,11,...)
+            # l_xx upper-triangle components; the (0,2)/(1,2)/(2,3) couplings
+            # and l_uu (0,1) are structurally zero (no constraint touches
+            # them, reference src/cilqr_solver.cpp:463-690) and are omitted:
+            # the backward pass treats missing keys as exact zeros, which
+            # skips their per-step row extraction entirely
             lxx = {(0, 0): jnp.full((NH, LANES), 2.0 * w(_WPOS)),
                    (1, 1): jnp.full((NH, LANES), 2.0 * w(_WPOS)),
                    (2, 2): jnp.full((NH, LANES), 2.0 * w(_WVEL)),
                    (3, 3): jnp.full((NH, LANES), 2.0 * w(_WYAW)),
-                   (0, 1): zero, (0, 2): zero, (0, 3): zero,
-                   (1, 2): zero, (1, 3): zero, (2, 3): zero}
+                   (0, 1): zero, (0, 3): zero, (1, 3): zero}
             luu = {(0, 0): jnp.full((NH, LANES), 2.0 * w(_WACC)),
-                   (1, 1): jnp.full((NH, LANES), 2.0 * w(_WSTL)),
-                   (0, 1): zero}
+                   (1, 1): jnp.full((NH, LANES), 2.0 * w(_WSTL))}
 
             sm = state_mask.astype(f32)
             cm = ctrl_mask.astype(f32)
@@ -416,14 +423,21 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                 mu_next = ()
             return J, lx, lu, lxx, luu, mu_next
 
-        def backward(UA, US, PX, PY, PV, PH, lx, lu, lxx, luu, lamb):
+        def backward(us_rows, pv_rows, ph_rows, lx, lu, lxx, luu, lamb):
             """Unrolled sparse Riccati recursion
-            (reference src/cilqr_solver.cpp:383-440)."""
+            (reference src/cilqr_solver.cpp:383-440).
+
+            Trajectory rows (per-step (1, 128) values) come pre-extracted
+            from the iteration body so line-search trials share them; lxx /
+            luu keys absent from the dicts are structurally zero and their
+            contributions are skipped (exact: adding 0.0 is the identity
+            for every value the recursion produces)."""
             r = _row
             # jacobian pieces per step k (0..N-1) use state k, control k
             # terminal value
             Vx = [r(lx[i], N) for i in range(4)]
-            Vxx = {}
+            zrow = jnp.zeros((1, LANES), f32)
+            Vxx = {(i, j): zrow for i in range(4) for j in range(i, 4)}
             for (i, j), S in lxx.items():
                 Vxx[(i, j)] = r(S, N)
             sym = lambda Vm, i, j: Vm[(i, j)] if (i, j) in Vm else Vm[(j, i)]
@@ -433,9 +447,9 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             d_rows = [None] * N
             K_rows = [None] * N
             for k in range(N - 1, -1, -1):
-                v = r(PV, k)
-                yaw = r(PH, k)
-                stl = r(US, k)
+                v = pv_rows[k]
+                yaw = ph_rows[k]
+                stl = us_rows[k]
                 if rear_center:
                     cy_, sy_ = jnp.cos(yaw), jnp.sin(yaw)
                     a02 = cy_ * dt
@@ -478,10 +492,12 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                     Qxx[(1, j)] = M1[(1, j)]
                     Qxx[(2, j)] = a02 * M1[(0, j)] + a12 * M1[(1, j)] + M1[(2, j)] + a32 * M1[(3, j)]
                     Qxx[(3, j)] = a03 * M1[(0, j)] + a13 * M1[(1, j)] + M1[(3, j)]
+                lxx_rows = {key: r(S, k) for key, S in lxx.items()}
                 for i in range(4):
                     for j in range(4):
-                        lij = r(sym(lxx, min(i, j), max(i, j)), k)
-                        Qxx[(i, j)] = Qxx[(i, j)] + lij
+                        key = (min(i, j), max(i, j))
+                        if key in lxx_rows:
+                            Qxx[(i, j)] = Qxx[(i, j)] + lxx_rows[key]
 
                 Qx = [r(lx[0], k) + Vx[0],
                       r(lx[1], k) + Vx[1],
@@ -495,7 +511,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                     M2[(i, 0)] = dt * V(i, 2)
                     M2[(i, 1)] = b01 * V(i, 0) + b11 * V(i, 1) + b31 * V(i, 3)
                 Quu00 = r(luu[(0, 0)], k) + dt * M2[(2, 0)] + lamb
-                Quu01 = r(luu[(0, 1)], k) + dt * M2[(2, 1)]
+                Quu01 = dt * M2[(2, 1)]  # l_uu (0,1) structurally zero
                 Quu11 = r(luu[(1, 1)], k) + b01 * M2[(0, 1)] + b11 * M2[(1, 1)] + b31 * M2[(3, 1)] + lamb
                 Qux = [[dt * M1[(2, j)] for j in range(4)],
                        [b01 * M1[(0, j)] + b11 * M1[(1, j)] + b31 * M1[(3, j)]
@@ -541,21 +557,27 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             # with masked reduces) would only add parasitic VPU work
             return d_rows, K_rows, dV1, dV2, fail
 
-        def forward(UA, US, PX, PY, PV, PH, d_rows, K_rows, alpha):
-            """Closed-loop trial rollout (reference src/cilqr_solver.cpp:442-461)."""
+        def forward(ua_rows, us_rows, px_rows, py_rows, pv_rows, ph_rows,
+                    d_rows, K_rows, alpha):
+            """Closed-loop trial rollout (reference src/cilqr_solver.cpp:442-461).
+
+            The reference trajectory arrives as per-step (1, 128) rows,
+            extracted once per solver iteration and shared by every
+            line-search trial (extraction is a masked slab reduce -- see
+            ``_row`` -- so hoisting it out of the trial loop matters)."""
             uas, uss = [], []
             cx, cy, cv, ch = x0
             nxs, nys, nvs, nhs = [cx], [cy], [cv], [ch]
             for k in range(N):
-                e0 = cx - _row(PX, k)
-                e1 = cy - _row(PY, k)
-                e2 = cv - _row(PV, k)
-                e3 = ch - _row(PH, k)
+                e0 = cx - px_rows[k]
+                e1 = cy - py_rows[k]
+                e2 = cv - pv_rows[k]
+                e3 = ch - ph_rows[k]
                 Kr = K_rows[k]
-                na = (_row(UA, k) + Kr[0][0] * e0 + Kr[0][1] * e1
+                na = (ua_rows[k] + Kr[0][0] * e0 + Kr[0][1] * e1
                       + Kr[0][2] * e2 + Kr[0][3] * e3
                       + alpha * d_rows[k][0])
-                ns = (_row(US, k) + Kr[1][0] * e0 + Kr[1][1] * e1
+                ns = (us_rows[k] + Kr[1][0] * e0 + Kr[1][1] * e1
                       + Kr[1][2] * e2 + Kr[1][3] * e3
                       + alpha * d_rows[k][1])
                 uas.append(na)
@@ -596,8 +618,16 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             ovf_f = ovf_ff > 0.5
             ori_J, lx, lu, lxx, luu, mu_next = cost_and_derivs(
                 UA, US, PX, PY, PV, PH, RKX, RKY, RKH, rho, mus)
+            # one row-extraction pass shared by the backward recursion and
+            # every line-search trial rollout
+            ua_rows = [_row(UA, k) for k in range(N)]
+            us_rows = [_row(US, k) for k in range(N)]
+            px_rows = [_row(PX, k) for k in range(N)]
+            py_rows = [_row(PY, k) for k in range(N)]
+            pv_rows = [_row(PV, k) for k in range(N)]
+            ph_rows = [_row(PH, k) for k in range(N)]
             d_rows, K_rows, dV1, dV2, bp_fail = backward(
-                UA, US, PX, PY, PV, PH, lx, lu, lxx, luu, lamb)
+                us_rows, pv_rows, ph_rows, lx, lu, lxx, luu, lamb)
 
             # line search: early-exit while over trials
             def ls_cond(ls):
@@ -614,8 +644,12 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                 small = small_f2 > 0.5
                 alpha = jnp.exp2(-t.astype(f32))
                 NUA, NUS, NPX, NPY, NPV, NPH, npxr, npyr = forward(
-                    UA, US, PX, PY, PV, PH, d_rows, K_rows, alpha)
-                TRX, TRY, TRH = project(npxr, npyr)
+                    ua_rows, us_rows, px_rows, py_rows, pv_rows, ph_rows,
+                    d_rows, K_rows, alpha)
+                if _PROBE == "noproj":  # timing probe: results are WRONG
+                    TRX, TRY, TRH = RKX, RKY, RKH
+                else:
+                    TRX, TRY, TRH = project(npxr, npyr)
                 nJ = total_cost(NUA, NUS, NPX, NPY, NPV, NPH, TRX, TRY, TRH,
                                 rho, mus)
                 decay = ori_J - nJ
