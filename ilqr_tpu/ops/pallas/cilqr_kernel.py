@@ -70,7 +70,8 @@ def _alpha_count(min_alpha: float) -> int:
 
 
 def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
-                  rear_center: bool, use_alm: bool):
+                  rear_center: bool, use_alm: bool,
+                  resume: bool = False, it0: int = 0):
     """Returns the kernel body function (closed over static shapes).
 
     In ALM mode the per-constraint dual state (mu slabs, one per constraint
@@ -79,13 +80,29 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
     the reference (src/cilqr_solver.cpp:377-379, 622-676). ALM runs cold
     per solve (the reference's default reset, :88-93); ALM + warm-start
     carries stay on the XLA path.
+
+    ``resume`` (barrier mode): the kernel takes one extra (8, 128) input in
+    the stats_out layout and restarts the solver loop mid-flight from it at
+    lockstep iteration ``it0``. This is exact because the full iteration
+    carry is reconstructible: the trajectory is the deterministic rollout
+    of the carried controls from x0 (forward() produces exactly that
+    rollout), its projection is a pure function of the trajectory, and the
+    remaining scalars (lambda, status, converged/overflow flags, iteration
+    counts) ride the stats slab. Used for straggler compaction (see
+    ``cilqr_solve_pallas``).
     """
     f32 = jnp.float32
     C = 8 + 2 * M  # constraint columns (ALM dual layout)
 
-    def kernel(wts_ref, x0_ref, uinit_ref, rx_ref, ry_ref, ryaw_ref,
-               ox_ref, oy_ref, oyaw_ref,
-               u_out, x_out, stats_out):
+    def kernel(*refs):
+        if resume:
+            (wts_ref, x0_ref, uinit_ref, rx_ref, ry_ref, ryaw_ref,
+             ox_ref, oy_ref, oyaw_ref, resume_ref,
+             u_out, x_out, stats_out) = refs
+        else:
+            (wts_ref, x0_ref, uinit_ref, rx_ref, ry_ref, ryaw_ref,
+             ox_ref, oy_ref, oyaw_ref,
+             u_out, x_out, stats_out) = refs
         row_iota = lax.broadcasted_iota(jnp.int32, (NH, LANES), 0)
         state_mask = (row_iota >= 1) & (row_iota <= N)  # rows 1..N
         ctrl_mask = row_iota <= N - 1  # rows 0..N-1
@@ -734,10 +751,24 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
         zslab = row_iota.astype(f32) * 0.0 + lane0  # lane-anchored 0 slab
         rho0 = lane0 + w(_RHO_INIT)
         mus0 = tuple(zslab for _ in range(C)) if use_alm else ()
-        st0 = (jnp.asarray(0, jnp.int32), ones, lane0 + w(_ILAMB),
-               lane0, lane0, lane0,
-               lane0, UA0, US0, PX0, PY0, PV0, PH0, RKX0, RKY0, RKH0,
-               rho0, mus0)
+        if resume:
+            res = resume_ref[:, :]  # (8, 128), stats_out layout
+            iters0 = _row(res, 0)
+            status0 = _row(res, 1)
+            conv0 = _row(res, 2)
+            ovf0 = _row(res, 3)
+            lamb0 = _row(res, 5)
+            # rows exit only via converged/overflow, so active == ~(conv|ovf)
+            active0 = ((conv0 < 0.5) & (ovf0 < 0.5)).astype(f32)
+            st0 = (jnp.asarray(it0, jnp.int32), active0, lamb0,
+                   status0, conv0, ovf0, iters0,
+                   UA0, US0, PX0, PY0, PV0, PH0, RKX0, RKY0, RKH0,
+                   rho0, mus0)
+        else:
+            st0 = (jnp.asarray(0, jnp.int32), ones, lane0 + w(_ILAMB),
+                   lane0, lane0, lane0,
+                   lane0, UA0, US0, PX0, PY0, PV0, PH0, RKX0, RKY0, RKH0,
+                   rho0, mus0)
         stf = lax.while_loop(iter_cond, iter_body, st0)
         (_, _, lambf, statusf, convf, ovff, itersf,
          UAf, USf, PXf, PYf, PVf, PHf, RKXf, RKYf, RKHf, rhof, musf) = stf
@@ -765,11 +796,11 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "window", "interpret"),
+    static_argnames=("cfg", "window", "interpret", "straggler_cap"),
 )
 def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
                        window: int = 512, interpret: bool = False,
-                       u_init=None):
+                       u_init=None, straggler_cap: int = 0):
     """Batched CILQR solve via the fused kernel.
 
     Args mirror :func:`ilqr_tpu.solvers.cilqr.solve_batch` (cold start,
@@ -786,7 +817,22 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     scenarios, 384 reproduces the full-line solutions and convergence
     statistics (window=768 is bit-identical, tools/validate_kernel_tpu.py)
     while 256 does not, so the default keeps a safety margin above 384.
+
+    ``straggler_cap`` (barrier mode): straggler compaction. Lockstep tiles
+    pay the *max* iteration count over their 128 lanes (p50 is ~9 but rare
+    rows run the full max_iter budget -- docs/PERFORMANCE.md "Lockstep
+    economics"). With a cap K, phase 1 runs every row for at most K
+    lockstep iterations; rows still unconverged are then stably sorted to
+    the front (one argsort + column gathers, O(bytes) on XLA), packed into
+    dense tiles, and resumed exactly where they stopped for the remaining
+    max_iter - K budget; all-done tiles exit their solver loop immediately.
+    Bitwise-identical results to a single-pass solve (the resume carry is
+    exact -- see ``_build_kernel``); 0 disables.
     """
+    if straggler_cap and cfg.solve_type == "alm":
+        raise NotImplementedError(
+            "straggler compaction resumes from (u, stats) only; ALM dual "
+            "slabs are not carried across phases -- use straggler_cap=0")
     if cfg.solve_type == "alm" and cfg.use_last_solution:
         raise NotImplementedError(
             "fused kernel runs ALM cold per solve; ALM + warm-start carries "
@@ -856,29 +902,54 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         wt = wt.at[i, 0].set(jnp.asarray(v, f32))
 
     n_alphas = _alpha_count(cfg.min_alpha)
-    kernel = _build_kernel(N, M, W, cfg.max_iter, n_alphas,
-                           cfg.reference_point == "rear_center",
-                           cfg.solve_type == "alm")
+    rear = cfg.reference_point == "rear_center"
+    alm = cfg.solve_type == "alm"
 
     grid = (Bp // LANES,)
     bspec = lambda rows: pl.BlockSpec((rows, LANES), lambda i: (0, i),
                                       memory_space=pltpu.VMEM)
-    u_out, x_out, stats_out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
+
+    def call_kernel(uinit_s, x0_s, rx_s, ry_s, ryaw_s, ox_s, oy_s, oyaw_s,
+                    resume_rows, max_iter_k, it0_k):
+        kernel = _build_kernel(N, M, W, max_iter_k, n_alphas, rear, alm,
+                               resume=resume_rows is not None, it0=it0_k)
+        in_specs = [
             pl.BlockSpec((_NWTS, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             bspec(8), bspec(2 * NH), bspec(W), bspec(W), bspec(W),
             bspec(M * NH), bspec(M * NH), bspec(M * NH),
-        ],
-        out_specs=[bspec(2 * NH), bspec(4 * NH), bspec(8)],
-        out_shape=[
-            jax.ShapeDtypeStruct((2 * NH, Bp), f32),
-            jax.ShapeDtypeStruct((4 * NH, Bp), f32),
-            jax.ShapeDtypeStruct((8, Bp), f32),
-        ],
-        interpret=interpret,
-    )(wt, x0_in, uinit, rx, ry, ryaw, ox, oy, oyaw)
+        ]
+        args = [wt, x0_s, uinit_s, rx_s, ry_s, ryaw_s, ox_s, oy_s, oyaw_s]
+        if resume_rows is not None:
+            in_specs.append(bspec(8))
+            args.append(resume_rows)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[bspec(2 * NH), bspec(4 * NH), bspec(8)],
+            out_shape=[
+                jax.ShapeDtypeStruct((2 * NH, Bp), f32),
+                jax.ShapeDtypeStruct((4 * NH, Bp), f32),
+                jax.ShapeDtypeStruct((8, Bp), f32),
+            ],
+            interpret=interpret,
+        )(*args)
+
+    two_phase = bool(straggler_cap) and straggler_cap < cfg.max_iter
+    cap1 = straggler_cap if two_phase else cfg.max_iter
+    u_out, x_out, stats_out = call_kernel(
+        uinit, x0_in, rx, ry, ryaw, ox, oy, oyaw, None, cap1, 0)
+    if two_phase:
+        done = ((stats_out[2] > 0.5) | (stats_out[3] > 0.5)).astype(jnp.int32)
+        perm = jnp.argsort(done)  # stable: stragglers first, order kept
+        inv = jnp.argsort(perm)
+        g = lambda a: a[:, perm]
+        u_out, x_out, stats_out = call_kernel(
+            g(u_out), g(x0_in), g(rx), g(ry), g(ryaw), g(ox), g(oy), g(oyaw),
+            g(stats_out), cfg.max_iter, cap1)
+        u_out = u_out[:, inv]
+        x_out = x_out[:, inv]
+        stats_out = stats_out[:, inv]
 
     u = jnp.stack([u_out[0:N, :B], u_out[NH:NH + N, :B]], axis=-1)
     u = jnp.moveaxis(u, 1, 0)  # (B, N, 2)

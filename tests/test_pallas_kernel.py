@@ -178,3 +178,31 @@ def test_kernel_pads_batch_to_lane_multiple(small_problem):
     assert u_k.shape == (8, cfg.N, 2)
     assert x_k.shape == (8, cfg.N + 1, 4)
     assert stats_k.iters.shape == (8,)
+
+
+def test_kernel_straggler_compaction_bitwise_exact(small_problem):
+    """Two-phase straggler compaction (capped pass + sorted resume) must be
+    bitwise identical to the single-pass kernel: the resume carry is exact
+    (trajectory = deterministic rollout of the carried controls)."""
+    cfg, w, x0_b, scen_b = small_problem
+    u1, x1, st1 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                     interpret=True)
+    # cap below max_iter (8) so phase 2 genuinely resumes mid-solve
+    u2, x2, st2 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                     interpret=True, straggler_cap=3)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(st1.iters), np.asarray(st2.iters))
+    np.testing.assert_array_equal(np.asarray(st1.status), np.asarray(st2.status))
+    np.testing.assert_array_equal(np.asarray(st1.final_cost),
+                                  np.asarray(st2.final_cost))
+    np.testing.assert_array_equal(np.asarray(st1.final_lamb),
+                                  np.asarray(st2.final_lamb))
+
+
+def test_kernel_straggler_compaction_rejects_alm(small_problem):
+    cfg, w, x0_b, scen_b = small_problem
+    cfg_alm = dataclasses.replace(cfg, solve_type="alm")
+    with pytest.raises(NotImplementedError):
+        cilqr_solve_pallas(cfg_alm, w, x0_b, scen_b, window=256,
+                           interpret=True, straggler_cap=3)
