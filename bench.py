@@ -60,9 +60,12 @@ def build(batch: int, dtype=jnp.float32):
         # 384-sample window validated on this workload: convergence stats
         # identical to the full reference line (see kernel docstring)
         window = int(os.environ.get("BENCH_WINDOW", "384"))
-        # straggler compaction: capped pass 1 + sorted exact resume of the
-        # unconverged rows (bitwise-identical results; see kernel docstring)
-        cap = int(os.environ.get("BENCH_CAP", "16"))
+        # straggler compaction: capped pass(es) + sorted exact resume of the
+        # unconverged rows (bitwise-identical results; see kernel docstring);
+        # comma-separated caps run a multi-phase schedule
+        cap_s = os.environ.get("BENCH_CAP", "24")
+        cap = tuple(int(c) for c in cap_s.split(",") if c) if "," in cap_s \
+            else int(cap_s)
 
         def run():
             u, x, stats = cilqr_solve_pallas(cfg, w, x0_b, scen_b,

@@ -33,6 +33,9 @@ def main(argv=None) -> int:
     parser.add_argument("--steps", type=int, default=4,
                         help="number of batched solve steps")
     parser.add_argument("--engine", choices=("kernel", "xla"), default="xla")
+    parser.add_argument("--straggler-cap", type=int, default=16,
+                        help="kernel engine: straggler-compaction phase-1 "
+                        "iteration cap (0 disables; results identical)")
     parser.add_argument("--noise-seed", type=int, default=0)
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--multihost", action="store_true",
@@ -96,7 +99,10 @@ def main(argv=None) -> int:
                                             shard_batch(mesh, scen_b))
             summary = jax.tree.map(np.asarray, summary)
         elif args.engine == "kernel":
-            _, _, stats = cilqr_solve_pallas(cfg, w, x0_b, scen_b)
+            _, _, stats = cilqr_solve_pallas(
+                cfg, w, x0_b, scen_b,
+                straggler_cap=(0 if cfg.solve_type == "alm"
+                               else args.straggler_cap))
             summary = jax.tree.map(np.asarray, aggregate_stats(stats))
         else:
             _, _, stats, _ = vsolve(cfg, w, x0_b, scen_b, None)

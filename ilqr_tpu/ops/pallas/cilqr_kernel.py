@@ -827,7 +827,10 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     dense tiles, and resumed exactly where they stopped for the remaining
     max_iter - K budget; all-done tiles exit their solver loop immediately.
     Bitwise-identical results to a single-pass solve (the resume carry is
-    exact -- see ``_build_kernel``); 0 disables.
+    exact -- see ``_build_kernel``); 0 disables. A tuple of strictly
+    increasing caps runs a multi-phase schedule (re-sorting at each cap),
+    which additionally isolates never-converging oscillator rows into
+    their own tiles.
     """
     if straggler_cap and cfg.solve_type == "alm":
         raise NotImplementedError(
@@ -935,18 +938,27 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
             interpret=interpret,
         )(*args)
 
-    two_phase = bool(straggler_cap) and straggler_cap < cfg.max_iter
-    cap1 = straggler_cap if two_phase else cfg.max_iter
+    caps = (straggler_cap if isinstance(straggler_cap, tuple)
+            else ((straggler_cap,) if straggler_cap else ()))
+    caps = tuple(c for c in caps if 0 < c < cfg.max_iter)
+    assert all(a < b for a, b in zip(caps, caps[1:])), \
+        "straggler_cap phases must be strictly increasing"
+    schedule = caps + (cfg.max_iter,)
     u_out, x_out, stats_out = call_kernel(
-        uinit, x0_in, rx, ry, ryaw, ox, oy, oyaw, None, cap1, 0)
-    if two_phase:
-        done = ((stats_out[2] > 0.5) | (stats_out[3] > 0.5)).astype(jnp.int32)
-        perm = jnp.argsort(done)  # stable: stragglers first, order kept
-        inv = jnp.argsort(perm)
-        g = lambda a: a[:, perm]
-        u_out, x_out, stats_out = call_kernel(
-            g(u_out), g(x0_in), g(rx), g(ry), g(ryaw), g(ox), g(oy), g(oyaw),
-            g(stats_out), cfg.max_iter, cap1)
+        uinit, x0_in, rx, ry, ryaw, ox, oy, oyaw, None, schedule[0], 0)
+    if len(schedule) > 1:
+        # order[j] = original column of current column j (composed perms)
+        order = jnp.arange(Bp)
+        ins = [x0_in, rx, ry, ryaw, ox, oy, oyaw]
+        for i in range(1, len(schedule)):
+            done = ((stats_out[2] > 0.5) | (stats_out[3] > 0.5)).astype(jnp.int32)
+            perm = jnp.argsort(done)  # stable: stragglers first, order kept
+            order = order[perm]
+            ins = [a[:, perm] for a in ins]
+            u_out, x_out, stats_out = call_kernel(
+                u_out[:, perm], *ins, stats_out[:, perm],
+                schedule[i], schedule[i - 1])
+        inv = jnp.argsort(order)
         u_out = u_out[:, inv]
         x_out = x_out[:, inv]
         stats_out = stats_out[:, inv]

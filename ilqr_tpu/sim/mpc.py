@@ -92,7 +92,8 @@ def run_mpc_scan(cfg: CILQRConfig, w: CILQRWeights, x0, ref_line, ref_velo,
 
 def run_mpc_kernel(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
                    ref_velo_b, obs_full_b, road_borders_b, ticks: int,
-                   window: int = 512, interpret: bool = False):
+                   window: int = 512, interpret: bool = False,
+                   straggler_cap: int = 0):
     """Batched receding-horizon episodes on the fused Pallas kernel.
 
     x0_b (B, 4); ref_line_b (B, P, 4); obs_full_b (B, M, T, 3) with
@@ -118,7 +119,8 @@ def run_mpc_kernel(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
         if cfg.use_last_solution and u_prev is not None:
             u_init = jnp.concatenate([u_prev[:, 1:], u_prev[:, -1:]], axis=1)
         u, x, st = cilqr_solve_pallas(cfg, w, ego, scenario, window=window,
-                                      interpret=interpret, u_init=u_init)
+                                      interpret=interpret, u_init=u_init,
+                                      straggler_cap=straggler_cap)
         ego = x[:, 1]
         u_prev = u
         egos.append(ego)

@@ -206,3 +206,15 @@ def test_kernel_straggler_compaction_rejects_alm(small_problem):
     with pytest.raises(NotImplementedError):
         cilqr_solve_pallas(cfg_alm, w, x0_b, scen_b, window=256,
                            interpret=True, straggler_cap=3)
+
+
+def test_kernel_straggler_multiphase_bitwise_exact(small_problem):
+    cfg, w, x0_b, scen_b = small_problem
+    u1, x1, st1 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                     interpret=True)
+    u3, x3, st3 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                     interpret=True, straggler_cap=(2, 5))
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u3))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x3))
+    np.testing.assert_array_equal(np.asarray(st1.iters), np.asarray(st3.iters))
+    np.testing.assert_array_equal(np.asarray(st1.status), np.asarray(st3.status))
