@@ -66,10 +66,17 @@ def build(batch: int, dtype=jnp.float32):
         cap_s = os.environ.get("BENCH_CAP", "24")
         cap = tuple(int(c) for c in cap_s.split(",") if c) if "," in cap_s \
             else int(cap_s)
+        # per-step projection search bound; -1 derives from the yaml's
+        # speed limit with 1.5x headroom (see kernel docstring), 0 disables
+        proj_rows = int(os.environ.get("BENCH_PROJ", "-1"))
+        if proj_rows < 0:
+            proj_rows = int(np.ceil(1.5 * float(gc["vehicle/velo_max"])
+                                    * float(gc["delta_t"]) / 0.1))
 
         def run():
             u, x, stats = cilqr_solve_pallas(cfg, w, x0_b, scen_b,
-                                             window=window, straggler_cap=cap)
+                                             window=window, straggler_cap=cap,
+                                             proj_rows_per_step=proj_rows)
             return stats.iters, jnp.mean(stats.converged.astype(jnp.float32))
     else:
         cfg = CILQRConfig.from_global_config(gc, line_search_width=4)

@@ -71,7 +71,8 @@ def _alpha_count(min_alpha: float) -> int:
 
 def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                   rear_center: bool, use_alm: bool,
-                  resume: bool = False, it0: int = 0):
+                  resume: bool = False, it0: int = 0,
+                  row_limits=None):
     """Returns the kernel body function (closed over static shapes).
 
     In ALM mode the per-constraint dual state (mu slabs, one per constraint
@@ -190,19 +191,31 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
 
             Takes per-step (1, 128) position rows (length N+1 lists) so
             rollout/forward outputs feed in without slab re-extraction.
+
+            With ``row_limits`` the search for step k only scans window rows
+            [0, row_limits[k]): the initial projection sits at row <=
+            W_BACK (window-gather invariant), and step k cannot progress
+            more than ~k * v * dt / 0.1 samples along the line, so a bound
+            of W_BACK + slack + k * rows_per_step covers every reachable
+            nearest row. Restricting the scan can only *raise* a trial's
+            tracking/border cost (min over a subset), so a bound that never
+            binds on accepted trajectories leaves solutions unchanged
+            (validated on all four scenarios, tools/validate_kernel_tpu.py).
             """
             kxs, kys, khs = [], [], []
             for k in range(N + 1):
-                dx = rx - pxr[k]
-                dy = ry - pyr[k]
+                R = W if row_limits is None else row_limits[k]
+                rxk, ryk, rhk, wk = rx[:R], ry[:R], ryaw[:R], widx[:R]
+                dx = rxk - pxr[k]
+                dy = ryk - pyr[k]
                 d2 = dx * dx + dy * dy
                 m = jnp.min(d2, axis=0, keepdims=True)
-                sel = jnp.where(d2 <= m, widx, jnp.int32(2**30))
+                sel = jnp.where(d2 <= m, wk, jnp.int32(2**30))
                 i0 = jnp.min(sel, axis=0, keepdims=True)
-                hot = (widx == i0).astype(f32)
-                kxs.append(jnp.sum(hot * rx, axis=0, keepdims=True))
-                kys.append(jnp.sum(hot * ry, axis=0, keepdims=True))
-                khs.append(jnp.sum(hot * ryaw, axis=0, keepdims=True))
+                hot = (wk == i0).astype(f32)
+                kxs.append(jnp.sum(hot * rxk, axis=0, keepdims=True))
+                kys.append(jnp.sum(hot * ryk, axis=0, keepdims=True))
+                khs.append(jnp.sum(hot * rhk, axis=0, keepdims=True))
             return _stack(kxs), _stack(kys), _stack(khs)
 
         def barrier(c, q1, q2):
@@ -626,8 +639,14 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             return (it < max_iter) & (jnp.max(active_f) > 0.5)
 
         def iter_body(st):
-            (it, active_f, lamb, status, conv_ff, ovf_ff, iters,
-             UA, US, PX, PY, PV, PH, RKX, RKY, RKH, rho, mus) = st
+            if _PROBE:
+                (it, active_f, lamb, status, conv_ff, ovf_ff, iters,
+                 UA, US, PX, PY, PV, PH, RKX, RKY, RKH, rho, mus,
+                 probe_acc) = st
+            else:
+                (it, active_f, lamb, status, conv_ff, ovf_ff, iters,
+                 UA, US, PX, PY, PV, PH, RKX, RKY, RKH, rho, mus) = st
+                probe_acc = None
             # carried masks travel as f32 rows (Mosaic cannot yield i1
             # vectors from scf loops); rehydrate to bool locally
             active = active_f > 0.5
@@ -645,6 +664,21 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             ph_rows = [_row(PH, k) for k in range(N)]
             d_rows, K_rows, dV1, dV2, bp_fail = backward(
                 us_rows, pv_rows, ph_rows, lx, lu, lxx, luu, lamb)
+            probe_add = None
+            if _PROBE == "2rows":
+                r2 = [_row(S + lane0, k) for S in (UA, US, PX, PY, PV, PH)
+                      for k in range(N)]
+                probe_add = sum(r2) * 1e-30
+            elif _PROBE == "2back":
+                b2 = backward(us_rows, pv_rows, ph_rows, lx, lu, lxx, luu,
+                              lamb + lane0)
+                probe_add = (b2[2] + b2[3]) * 1e-30
+            elif _PROBE == "2derivs":
+                c2 = cost_and_derivs(UA + lane0, US, PX, PY, PV, PH,
+                                     RKX, RKY, RKH, rho, mus)
+                probe_add = (c2[0] + sum(
+                    jnp.sum(s * 1e-30, axis=0, keepdims=True)
+                    for s in c2[1] + c2[2])) * 1e-30
 
             # line search: early-exit while over trials
             def ls_cond(ls):
@@ -669,6 +703,23 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                     TRX, TRY, TRH = project(npxr, npyr)
                 nJ = total_cost(NUA, NUS, NPX, NPY, NPV, NPH, TRX, TRY, TRH,
                                 rho, mus)
+                # marginal-cost probes: evaluate a component a SECOND time on
+                # a +0.0-perturbed input (lane0 is runtime zeros, so CSE
+                # cannot merge the two calls) and fold the result at 1e-30
+                # into the carried accumulator so it cannot be DCE'd.
+                # Results stay exact; only timing changes.
+                if _PROBE == "2cost":
+                    nJ2 = total_cost(NUA + lane0, NUS, NPX, NPY, NPV, NPH,
+                                     TRX, TRY, TRH, rho, mus)
+                    j_hit = j_hit + nJ2 * 1e-30
+                elif _PROBE == "2fwd":
+                    f2 = forward(ua_rows, us_rows, px_rows, py_rows, pv_rows,
+                                 ph_rows, d_rows, K_rows, alpha * (1.0 + lane0))
+                    j_hit = j_hit + f2[6][N] * 1e-30
+                elif _PROBE == "2proj":
+                    T2 = project([p + lane0 for p in npxr], npyr)
+                    j_hit = j_hit + jnp.sum(T2[0] * 1e-30, axis=0,
+                                            keepdims=True)
                 decay = ori_J - nJ
                 is_first = t == 0
                 conv_now = is_first & (jnp.abs(decay) < w(_CONV)) & ~ls_done
@@ -697,9 +748,13 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             ls0 = (jnp.asarray(0, jnp.int32),
                    (bp_fail | ~active).astype(f32), fz, fz, fz, fz,
                    UA, US, PX, PY, PV, PH, RKX, RKY, RKH)
-            (_, _, ls_acc_f, ls_conv_f, ls_small_f, _,
+            (_, _, ls_acc_f, ls_conv_f, ls_small_f, ls_probe,
              BUA, BUS, BPX, BPY, BPV, BPH, BRX, BRY, BRH) = lax.while_loop(
                 ls_cond, ls_body, ls0)
+            if _PROBE:
+                probe_acc = probe_acc + ls_probe
+                if probe_add is not None:
+                    probe_acc = probe_acc + probe_add
             ls_acc = ls_acc_f > 0.5
             ls_conv = ls_conv_f > 0.5
             ls_small = ls_small_f > 0.5
@@ -741,11 +796,12 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                     rho)
             else:
                 mus2, rho2 = mus, rho
-            return (it + 1, (active & ~done_now).astype(f32), lamb2, status2,
-                    (conv_f | converged_now).astype(f32),
-                    (ovf_f | overflow_now).astype(f32), iters2,
-                    UA2, US2, PX2, PY2, PV2, PH2, RKX2, RKY2, RKH2,
-                    rho2, mus2)
+            out = (it + 1, (active & ~done_now).astype(f32), lamb2, status2,
+                   (conv_f | converged_now).astype(f32),
+                   (ovf_f | overflow_now).astype(f32), iters2,
+                   UA2, US2, PX2, PY2, PV2, PH2, RKX2, RKY2, RKH2,
+                   rho2, mus2)
+            return out + (probe_acc,) if _PROBE else out
 
         ones = lane0 + 1.0  # lane-anchored 1.0 row (True as f32)
         zslab = row_iota.astype(f32) * 0.0 + lane0  # lane-anchored 0 slab
@@ -769,9 +825,12 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                    lane0, lane0, lane0,
                    lane0, UA0, US0, PX0, PY0, PV0, PH0, RKX0, RKY0, RKH0,
                    rho0, mus0)
+        if _PROBE:
+            st0 = st0 + (lane0,)
         stf = lax.while_loop(iter_cond, iter_body, st0)
         (_, _, lambf, statusf, convf, ovff, itersf,
-         UAf, USf, PXf, PYf, PVf, PHf, RKXf, RKYf, RKHf, rhof, musf) = stf
+         UAf, USf, PXf, PYf, PVf, PHf, RKXf, RKYf, RKHf, rhof, musf) = stf[:18]
+        probef = stf[18] if _PROBE else None
 
         final_J = total_cost(UAf, USf, PXf, PYf, PVf, PHf, RKXf, RKYf, RKHf,
                              rhof, musf)
@@ -788,19 +847,24 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
         stats_out[3:4, :] = ovff
         stats_out[4:5, :] = final_J
         stats_out[5:6, :] = lambf
-        stats_out[6:7, :] = jnp.zeros((1, LANES), f32)
+        stats_out[6:7, :] = probef if _PROBE else jnp.zeros((1, LANES), f32)
         stats_out[7:8, :] = jnp.zeros((1, LANES), f32)
 
     return kernel
 
 
+_PROJ_SLACK = 48  # extra window rows (4.8 m) above the per-step search bound
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "window", "interpret", "straggler_cap"),
+    static_argnames=("cfg", "window", "interpret", "straggler_cap",
+                     "proj_rows_per_step"),
 )
 def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
                        window: int = 512, interpret: bool = False,
-                       u_init=None, straggler_cap: int = 0):
+                       u_init=None, straggler_cap: int = 0,
+                       proj_rows_per_step: int = 0):
     """Batched CILQR solve via the fused kernel.
 
     Args mirror :func:`ilqr_tpu.solvers.cilqr.solve_batch` (cold start,
@@ -831,6 +895,15 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     increasing caps runs a multi-phase schedule (re-sorting at each cap),
     which additionally isolates never-converging oscillator rows into
     their own tiles.
+
+    ``proj_rows_per_step``: per-step projection search bound. Step k's
+    nearest-point scan is limited to the first W_BACK + 48 + k * this many
+    window rows (0 disables = full window every step). Exactness holds as
+    long as trajectories advance at most this many 0.1 m samples per step;
+    set to ceil(1.5 * velo_max * dt / 0.1) for headroom over the speed
+    limit (trial rollouts can transiently exceed velo_max; a too-tight
+    bound can only raise a trial's cost, i.e. reject near-marginal steps,
+    never accept new ones -- see project()).
     """
     if straggler_cap and cfg.solve_type == "alm":
         raise NotImplementedError(
@@ -850,10 +923,14 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
 
     ref = jnp.asarray(scenario_b.ref_line, f32)  # (B, P, 4)
     P = ref.shape[1]
-    # per-row window: center on the ego's initial nearest index
+    # per-row window: center on the ego's initial nearest index. The start
+    # is NOT clamped to P - W: near the line end the tail rows repeat the
+    # last sample (ties resolve to the first copy, whose values are
+    # identical), which pins the ego's initial projection at row <= W_BACK
+    # -- the invariant the per-step search bounds below rely on.
     d2 = (ref[:, :, 0] - x0_b[:, None, 0]) ** 2 + (ref[:, :, 1] - x0_b[:, None, 1]) ** 2
     c = jnp.argmin(d2, axis=1)
-    start = jnp.clip(c - W_BACK, 0, max(P - W, 0))
+    start = jnp.maximum(c - W_BACK, 0)
     gidx = start[:, None] + jnp.arange(W)[None, :]
     gidx = jnp.minimum(gidx, P - 1)
     win = jnp.take_along_axis(ref, gidx[:, :, None], axis=1)  # (B, W, 4)
@@ -912,10 +989,20 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     bspec = lambda rows: pl.BlockSpec((rows, LANES), lambda i: (0, i),
                                       memory_space=pltpu.VMEM)
 
+    if proj_rows_per_step > 0:
+        # per-step static search bounds (see project() docstring); rounded
+        # to vreg sublane multiples
+        row_limits = tuple(
+            min(W, -(-(W_BACK + _PROJ_SLACK + k * proj_rows_per_step) // 8) * 8)
+            for k in range(N + 1))
+    else:
+        row_limits = None
+
     def call_kernel(uinit_s, x0_s, rx_s, ry_s, ryaw_s, ox_s, oy_s, oyaw_s,
                     resume_rows, max_iter_k, it0_k):
         kernel = _build_kernel(N, M, W, max_iter_k, n_alphas, rear, alm,
-                               resume=resume_rows is not None, it0=it0_k)
+                               resume=resume_rows is not None, it0=it0_k,
+                               row_limits=row_limits)
         in_specs = [
             pl.BlockSpec((_NWTS, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             bspec(8), bspec(2 * NH), bspec(W), bspec(W), bspec(W),

@@ -218,3 +218,17 @@ def test_kernel_straggler_multiphase_bitwise_exact(small_problem):
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x3))
     np.testing.assert_array_equal(np.asarray(st1.iters), np.asarray(st3.iters))
     np.testing.assert_array_equal(np.asarray(st1.status), np.asarray(st3.status))
+
+
+def test_kernel_projection_bound_generous_is_exact(small_problem):
+    """A generous per-step search bound never binds, so results must be
+    bitwise identical to the full-window scan."""
+    cfg, w, x0_b, scen_b = small_problem
+    u1, x1, st1 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                     interpret=True)
+    u2, x2, st2 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                     interpret=True, proj_rows_per_step=23)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(st1.iters), np.asarray(st2.iters))
+    np.testing.assert_array_equal(np.asarray(st1.status), np.asarray(st2.status))

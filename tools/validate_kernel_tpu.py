@@ -33,7 +33,7 @@ SCENARIOS = [
 ]
 
 
-def run_one(name: str, batch: int, window: int) -> bool:
+def run_one(name: str, batch: int, window: int, proj_rows: int = 0) -> bool:
     from ilqr_tpu.config import GlobalConfig
     from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
     from ilqr_tpu.sim.scenario import build_scenario_setup, perturbed_initial_states
@@ -52,7 +52,11 @@ def run_one(name: str, batch: int, window: int) -> bool:
     scen_b = jax.tree.map(lambda a: jnp.stack([a] * batch), scenario)
 
     t0 = time.perf_counter()
-    u_k, x_k, st_k = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=window)
+    if proj_rows < 0:  # derive from the scenario's speed limit
+        proj_rows = int(np.ceil(1.5 * float(gc["vehicle/velo_max"])
+                                * float(gc["delta_t"]) / 0.1))
+    u_k, x_k, st_k = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=window,
+                                        proj_rows_per_step=proj_rows)
     u_k, x_k = np.asarray(u_k), np.asarray(x_k)
     it_k = np.asarray(st_k.iters)
     stat_k = np.asarray(st_k.status)
@@ -104,13 +108,15 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--window", type=int, default=384)
     ap.add_argument("--scenario", default=None)
+    ap.add_argument("--proj-rows", type=int, default=0,
+                    help="per-step projection bound (-1 = derive from yaml)")
     args = ap.parse_args()
     names = [args.scenario] if args.scenario else SCENARIOS
     print(f"backend={jax.default_backend()} devices={len(jax.devices())}",
           flush=True)
     ok = True
     for n in names:
-        ok = run_one(n, args.batch, args.window) and ok
+        ok = run_one(n, args.batch, args.window, args.proj_rows) and ok
     sys.exit(0 if ok else 1)
 
 
