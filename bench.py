@@ -72,11 +72,15 @@ def build(batch: int, dtype=jnp.float32):
         if proj_rows < 0:
             proj_rows = int(np.ceil(1.5 * float(gc["vehicle/velo_max"])
                                     * float(gc["delta_t"]) / 0.1))
+        # scenario groups per kernel tile (1 = replicated per-step rows,
+        # 8 = full-vreg rows; see cilqr_kernel._build_kernel)
+        groups = int(os.environ.get("BENCH_GROUPS", "1"))
 
         def run():
             u, x, stats = cilqr_solve_pallas(cfg, w, x0_b, scen_b,
                                              window=window, straggler_cap=cap,
-                                             proj_rows_per_step=proj_rows)
+                                             proj_rows_per_step=proj_rows,
+                                             groups=groups)
             return stats.iters, jnp.mean(stats.converged.astype(jnp.float32))
     else:
         cfg = CILQRConfig.from_global_config(gc, line_search_width=4)

@@ -72,7 +72,7 @@ def _alpha_count(min_alpha: float) -> int:
 def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                   rear_center: bool, use_alm: bool,
                   resume: bool = False, it0: int = 0,
-                  row_limits=None):
+                  row_limits=None, G: int = 1):
     """Returns the kernel body function (closed over static shapes).
 
     In ALM mode the per-constraint dual state (mu slabs, one per constraint
@@ -91,9 +91,22 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
     remaining scalars (lambda, status, converged/overflow flags, iteration
     counts) ride the stats slab. Used for straggler compaction (see
     ``cilqr_solve_pallas``).
+
+    ``G`` (group-interleaved layout): each tile carries G*128 scenarios.
+    Slab row k*G+g holds step k of scenario group g, so every per-step
+    quantity is a (G, 128) value -- a *full vector register* at G=8
+    instead of the 1/8-utilized replicated (1, 128) rows of the G=1
+    layout, and per-step row extraction becomes an aligned slice instead
+    of a masked slab reduction. Horizon reductions become log-depth
+    aligned-halves folds and the projection argmin a single
+    first-match-wins pair fold (see ``project``); fold order differs from
+    jnp reductions, so G>1 matches G=1 statistically (same convergence
+    behavior), not bitwise. G=1 preserves the original code paths exactly.
     """
     f32 = jnp.float32
     C = 8 + 2 * M  # constraint columns (ALM dual layout)
+    NHG = NH * G
+    assert G == 1 or G == 8, "G must be 1 (replicated rows) or 8 (vreg rows)"
 
     def kernel(*refs):
         if resume:
@@ -104,18 +117,55 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             (wts_ref, x0_ref, uinit_ref, rx_ref, ry_ref, ryaw_ref,
              ox_ref, oy_ref, oyaw_ref,
              u_out, x_out, stats_out) = refs
-        row_iota = lax.broadcasted_iota(jnp.int32, (NH, LANES), 0)
-        state_mask = (row_iota >= 1) & (row_iota <= N)  # rows 1..N
-        ctrl_mask = row_iota <= N - 1  # rows 0..N-1
-        quad_mask = row_iota <= N  # rows 0..N
+        row_iota = lax.broadcasted_iota(jnp.int32, (NHG, LANES), 0)
+        step_iota = row_iota // G if G > 1 else row_iota
+        state_mask = (step_iota >= 1) & (step_iota <= N)  # steps 1..N
+        ctrl_mask = step_iota <= N - 1  # steps 0..N-1
+        quad_mask = step_iota <= N  # steps 0..N
 
         def _row(S, k):
-            """Extract slab row k as a (1, 128) value with *replicated*
-            sublane layout (Mosaic cannot relayout offset row slices to the
-            replicated layout broadcasts need, so a masked reduce -- which
-            is born replicated -- stands in for ``S[k:k+1]``)."""
+            """Extract step k of a slab as a (G, 128) value.
+
+            G=1: masked reduce producing a *replicated* sublane layout
+            (Mosaic cannot relayout offset row slices to the replicated
+            layout broadcasts need, so the reduce -- which is born
+            replicated -- stands in for ``S[k:k+1]``).
+            G=8: rows k*G..(k+1)*G are a sublane-aligned full-vreg slice;
+            no relayout is needed because every per-step value is (8, 128)
+            and all arithmetic between them is elementwise."""
+            if G > 1:
+                return S[k * G:(k + 1) * G]
             ri = lax.broadcasted_iota(jnp.int32, S.shape, 0)
             return jnp.sum(jnp.where(ri == k, S, 0.0), axis=0, keepdims=True)
+
+        def _tile_rows(p, n):
+            """(G, 128) -> (n*G, 128) with row w*G+g = p[g] (doubling
+            concats: log2(n) copies instead of a broadcast relayout)."""
+            out, m = p, 1
+            while m * 2 <= n:
+                out = jnp.concatenate([out, out], axis=0)
+                m *= 2
+            if m < n:
+                out = jnp.concatenate([out, out[:(n - m) * G]], axis=0)
+            return out
+
+        def _fold_sum(S):
+            """Sum over steps: (n*G, 128) -> (G, 128) by aligned-halves
+            folding (every slice boundary is a multiple of G=8 sublanes)."""
+            n = S.shape[0] // G
+            while n > 1:
+                h = n // 2
+                top = S[h * G:2 * h * G]
+                S = S[:h * G] + top if n % 2 == 0 else jnp.concatenate(
+                    [S[:h * G] + top, S[2 * h * G:]], axis=0)
+                n = n - h
+            return S
+
+        def _hsum(S):
+            """Horizon reduction of a masked slab -> per-scenario row."""
+            if G > 1:
+                return _fold_sum(S)
+            return jnp.sum(S, axis=0, keepdims=True)
         w = lambda i: wts_ref[i, 0]
         dt, wb = w(_DT), w(_WB)
         width, length, d_safe = w(_WIDTH), w(_LENGTH), w(_DSAFE)
@@ -136,9 +186,20 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
         up_bound = rb_hi - width * 0.5
         lo_bound = rb_lo + width * 0.5
 
-        rx, ry, ryaw = rx_ref[:, :], ry_ref[:, :], ryaw_ref[:, :]  # (W, 128)
-        widx = lax.broadcasted_iota(jnp.int32, (W, LANES), 0)
-        OX = ox_ref[:, :]  # (M * NH, 128)
+        # slab-shaped copies of per-scenario rows used against (NHG, 128)
+        # slabs (G=1 rows broadcast for free; G>1 needs explicit tiling)
+        if G > 1:
+            ref_velo_s = _tile_rows(ref_velo, NH)
+            up_bound_s = _tile_rows(up_bound, NH)
+            lo_bound_s = _tile_rows(lo_bound, NH)
+        else:
+            ref_velo_s, up_bound_s, lo_bound_s = ref_velo, up_bound, lo_bound
+
+        rx, ry, ryaw = rx_ref[:, :], ry_ref[:, :], ryaw_ref[:, :]  # (W*G, 128)
+        widx = lax.broadcasted_iota(jnp.int32, (W * G, LANES), 0)
+        if G > 1:
+            widx = widx // G  # window-sample index per interleaved row
+        OX = ox_ref[:, :]  # (M * NHG, 128)
         OY = oy_ref[:, :]
         OTH = oyaw_ref[:, :]
 
@@ -168,8 +229,8 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             return nx, ny, nv, nyaw
 
         def _stack(rows):
-            """(len(rows), 128) rows -> (NH, 128) slab (zero-padded)."""
-            pad = NH - len(rows)
+            """(G, 128) per-step rows -> (NHG, 128) slab (zero-padded)."""
+            pad = NHG - len(rows) * G
             if pad:
                 rows = rows + [jnp.zeros((pad, LANES), f32)]
             return jnp.concatenate(rows, axis=0)
@@ -205,6 +266,34 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             kxs, kys, khs = [], [], []
             for k in range(N + 1):
                 R = W if row_limits is None else row_limits[k]
+                if G > 1:
+                    # first-argmin as one pair fold carrying
+                    # (d2, x, y, yaw): strict less-than keeps the earlier
+                    # window row on ties and each level compares a
+                    # lower-index block against a higher one, so the fold
+                    # resolves exactly to the first global minimum.
+                    rxk, ryk, rhk = rx[:R * G], ry[:R * G], ryaw[:R * G]
+                    dx = rxk - _tile_rows(pxr[k], R)
+                    dy = ryk - _tile_rows(pyr[k], R)
+                    vals = (dx * dx + dy * dy, rxk, ryk, rhk)
+                    n = R
+                    while n > 1:
+                        h = n // 2
+                        lo = tuple(v[:h * G] for v in vals)
+                        hi = tuple(v[h * G:2 * h * G] for v in vals)
+                        better = hi[0] < lo[0]
+                        merged = tuple(jnp.where(better, b, a)
+                                       for a, b in zip(lo, hi))
+                        if n % 2:
+                            merged = tuple(
+                                jnp.concatenate([m_, v[2 * h * G:]], axis=0)
+                                for m_, v in zip(merged, vals))
+                        vals = merged
+                        n = n - h
+                    kxs.append(vals[1])
+                    kys.append(vals[2])
+                    khs.append(vals[3])
+                    continue
                 rxk, ryk, rhk, wk = rx[:R], ry[:R], ryaw[:R], widx[:R]
                 dx = rxk - pxr[k]
                 dy = ryk - pyr[k]
@@ -261,9 +350,9 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             grads skipped (None) for value-only cost evaluations."""
             outs = []
             for j in range(M):
-                cxj = OX[j * NH:(j + 1) * NH]
-                cyj = OY[j * NH:(j + 1) * NH]
-                thj = OTH[j * NH:(j + 1) * NH]
+                cxj = OX[j * NHG:(j + 1) * NHG]
+                cyj = OY[j * NHG:(j + 1) * NHG]
+                thj = OTH[j * NHG:(j + 1) * NHG]
                 ct, st = jnp.cos(thj), jnp.sin(thj)
                 for (PXp, PYp) in ((FX, FY), (RXc, RYc)):
                     ddx = PXp - cxj
@@ -292,7 +381,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             cs = [
                 UA - w(_AMAX), w(_AMIN) - UA, US - w(_STL), -w(_STL) - US,
                 PV - w(_VMAX), w(_VMIN) - PV,
-                cur_d - up_bound, lo_bound - cur_d,
+                cur_d - up_bound_s, lo_bound_s - cur_d,
             ]
             fr = front_rear(PX, PY, PH)
             obs = obs_margins(fr[0], fr[1], fr[2], fr[3], with_grads)
@@ -306,33 +395,29 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                        rho=None, mus=None):
             dx = PX - RKX
             dy = PY - RKY
-            dv = PV - ref_velo
+            dv = PV - ref_velo_s
             dh = PH - RKH
-            quad = jnp.sum(
+            quad = _hsum(
                 jnp.where(quad_mask,
                           w(_WPOS) * (dx * dx + dy * dy)
-                          + w(_WVEL) * dv * dv + w(_WYAW) * dh * dh, 0.0),
-                axis=0, keepdims=True)
-            quad = quad + jnp.sum(
+                          + w(_WVEL) * dv * dv + w(_WYAW) * dh * dh, 0.0))
+            quad = quad + _hsum(
                 jnp.where(ctrl_mask,
-                          w(_WACC) * UA * UA + w(_WSTL) * US * US, 0.0),
-                axis=0, keepdims=True)
+                          w(_WACC) * UA * UA + w(_WSTL) * US * US, 0.0))
             cs, _, _, _ = _constraint_slabs(UA, US, PX, PY, PV, PH,
                                             RKX, RKY, RKH, with_grads=False)
             # control-bound columns live on rows r = k-1, state/obstacle
             # columns on rows k = 1..N
-            jb = jnp.sum(
+            jb = _hsum(
                 jnp.where(ctrl_mask,
                           sum(pen_val(cs[i], sq1, sq2, _mu_of(mus, i), rho)
-                              for i in range(4)), 0.0),
-                axis=0, keepdims=True)
-            jb = jb + jnp.sum(
+                              for i in range(4)), 0.0))
+            jb = jb + _hsum(
                 jnp.where(state_mask,
                           sum(pen_val(cs[i], sq1, sq2, _mu_of(mus, i), rho)
                               for i in range(4, 8))
                           + sum(pen_val(cs[i], oq1, oq2, _mu_of(mus, i), rho)
-                                for i in range(8, C)), 0.0),
-                axis=0, keepdims=True)
+                                for i in range(8, C)), 0.0))
             return quad + jb
 
         def cost_and_derivs(UA, US, PX, PY, PV, PH, RKX, RKY, RKH,
@@ -344,25 +429,25 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             """
             dx = PX - RKX
             dy = PY - RKY
-            dv = PV - ref_velo
+            dv = PV - ref_velo_s
             dh = PH - RKH
 
             lx = [2.0 * w(_WPOS) * dx, 2.0 * w(_WPOS) * dy,
                   2.0 * w(_WVEL) * dv, 2.0 * w(_WYAW) * dh]
             lu = [2.0 * w(_WACC) * UA, 2.0 * w(_WSTL) * US]
-            zero = jnp.zeros((NH, LANES), f32)
+            zero = jnp.zeros((NHG, LANES), f32)
             # l_xx upper-triangle components; the (0,2)/(1,2)/(2,3) couplings
             # and l_uu (0,1) are structurally zero (no constraint touches
             # them, reference src/cilqr_solver.cpp:463-690) and are omitted:
             # the backward pass treats missing keys as exact zeros, which
             # skips their per-step row extraction entirely
-            lxx = {(0, 0): jnp.full((NH, LANES), 2.0 * w(_WPOS)),
-                   (1, 1): jnp.full((NH, LANES), 2.0 * w(_WPOS)),
-                   (2, 2): jnp.full((NH, LANES), 2.0 * w(_WVEL)),
-                   (3, 3): jnp.full((NH, LANES), 2.0 * w(_WYAW)),
+            lxx = {(0, 0): jnp.full((NHG, LANES), 2.0 * w(_WPOS)),
+                   (1, 1): jnp.full((NHG, LANES), 2.0 * w(_WPOS)),
+                   (2, 2): jnp.full((NHG, LANES), 2.0 * w(_WVEL)),
+                   (3, 3): jnp.full((NHG, LANES), 2.0 * w(_WYAW)),
                    (0, 1): zero, (0, 3): zero, (1, 3): zero}
-            luu = {(0, 0): jnp.full((NH, LANES), 2.0 * w(_WACC)),
-                   (1, 1): jnp.full((NH, LANES), 2.0 * w(_WSTL))}
+            luu = {(0, 0): jnp.full((NHG, LANES), 2.0 * w(_WACC)),
+                   (1, 1): jnp.full((NHG, LANES), 2.0 * w(_WSTL))}
 
             sm = state_mask.astype(f32)
             cm = ctrl_mask.astype(f32)
@@ -372,19 +457,17 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             vgh = [pen3(cs[i], *q12(i), _mu_of(mus, i), rho) for i in range(C)]
 
             # J from the shared values (== total_cost on this trajectory)
-            quad = jnp.sum(
+            quad = _hsum(
                 jnp.where(quad_mask,
                           w(_WPOS) * (dx * dx + dy * dy)
-                          + w(_WVEL) * dv * dv + w(_WYAW) * dh * dh, 0.0),
-                axis=0, keepdims=True) + jnp.sum(
+                          + w(_WVEL) * dv * dv + w(_WYAW) * dh * dh, 0.0)
+            ) + _hsum(
                 jnp.where(ctrl_mask,
-                          w(_WACC) * UA * UA + w(_WSTL) * US * US, 0.0),
-                axis=0, keepdims=True)
-            J = quad + jnp.sum(
-                jnp.where(ctrl_mask, sum(vgh[i][0] for i in range(4)), 0.0),
-                axis=0, keepdims=True) + jnp.sum(
-                jnp.where(state_mask, sum(vgh[i][0] for i in range(4, C)), 0.0),
-                axis=0, keepdims=True)
+                          w(_WACC) * UA * UA + w(_WSTL) * US * US, 0.0))
+            J = quad + _hsum(
+                jnp.where(ctrl_mask, sum(vgh[i][0] for i in range(4)), 0.0)
+            ) + _hsum(
+                jnp.where(state_mask, sum(vgh[i][0] for i in range(4, C)), 0.0))
 
             # control bound columns: gradients are +-e0 / +-e1
             g_au, h_au = vgh[0][1] * cm, vgh[0][2] * cm
@@ -466,14 +549,14 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             # jacobian pieces per step k (0..N-1) use state k, control k
             # terminal value
             Vx = [r(lx[i], N) for i in range(4)]
-            zrow = jnp.zeros((1, LANES), f32)
+            zrow = jnp.zeros((G, LANES), f32)
             Vxx = {(i, j): zrow for i in range(4) for j in range(i, 4)}
             for (i, j), S in lxx.items():
                 Vxx[(i, j)] = r(S, N)
             sym = lambda Vm, i, j: Vm[(i, j)] if (i, j) in Vm else Vm[(j, i)]
-            dV1 = jnp.zeros((1, LANES), f32)
-            dV2 = jnp.zeros((1, LANES), f32)
-            fail = jnp.zeros((1, LANES), jnp.bool_)
+            dV1 = jnp.zeros((G, LANES), f32)
+            dV2 = jnp.zeros((G, LANES), f32)
+            fail = jnp.zeros((G, LANES), jnp.bool_)
             d_rows = [None] * N
             K_rows = [None] * N
             for k in range(N - 1, -1, -1):
@@ -625,11 +708,11 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
         # the carry layout to the (fully replicated) constant layout and
         # cannot relayout the body's lane-varying outputs back into it.
         # Anchor every carried init to lane-varying data instead.
-        lane0 = x0[0] * 0.0  # (1, 128) zeros, lane-offset layout
+        lane0 = x0[0] * 0.0  # (G, 128) zeros, lane-offset layout
         # warm-start initial controls (zeros for a cold start); input reads
         # have materialized layouts, so they are safe as carried values
-        UA0 = uinit_ref[0:NH, :]
-        US0 = uinit_ref[NH:2 * NH, :]
+        UA0 = uinit_ref[0:NHG, :]
+        US0 = uinit_ref[NHG:2 * NHG, :]
         PX0, PY0, PV0, PH0, pxr0, pyr0 = rollout(UA0, US0)
         RKX0, RKY0, RKH0 = project(pxr0, pyr0)
 
@@ -727,7 +810,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                 ratio = jnp.where(approx != 0, decay / approx, f32(jnp.inf))
                 acc_now = (~conv_now) & ~ls_done & (decay > 0) & (
                     (approx < 0) | (ratio > w(_ACCEPT)))
-                take = acc_now
+                take = acc_now if G == 1 else _tile_rows(acc_now, NH)
                 BUA = jnp.where(take, NUA, BUA)
                 BUS = jnp.where(take, NUS, BUS)
                 BPX = jnp.where(take, NPX, BPX)
@@ -764,7 +847,8 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             exhausted = active & ~bp_fail & ~ls_acc & ~ls_conv
             bp_failed = active & bp_fail
 
-            sel = lambda n, o: jnp.where(accepted, n, o)
+            acc_s = accepted if G == 1 else _tile_rows(accepted, NH)
+            sel = lambda n, o: jnp.where(acc_s, n, o)
             UA2, US2 = sel(BUA, UA), sel(BUS, US)
             PX2, PY2, PV2, PH2 = sel(BPX, PX), sel(BPY, PY), sel(BPV, PV), sel(BPH, PH)
             RKX2, RKY2, RKH2 = sel(BRX, RKX), sel(BRY, RKY), sel(BRH, RKH)
@@ -788,7 +872,8 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             if use_alm:
                 # dual update only on line-search exhaustion
                 # (src/cilqr_solver.cpp:377-379)
-                mus2 = tuple(jnp.where(exhausted, mn, m)
+                exh_s = exhausted if G == 1 else _tile_rows(exhausted, NH)
+                mus2 = tuple(jnp.where(exh_s, mn, m)
                              for mn, m in zip(mu_next, mus))
                 rho2 = jnp.where(
                     exhausted,
@@ -804,11 +889,12 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             return out + (probe_acc,) if _PROBE else out
 
         ones = lane0 + 1.0  # lane-anchored 1.0 row (True as f32)
-        zslab = row_iota.astype(f32) * 0.0 + lane0  # lane-anchored 0 slab
+        zslab = row_iota.astype(f32) * 0.0 + (
+            lane0 if G == 1 else _tile_rows(lane0, NH))  # lane-anchored 0 slab
         rho0 = lane0 + w(_RHO_INIT)
         mus0 = tuple(zslab for _ in range(C)) if use_alm else ()
         if resume:
-            res = resume_ref[:, :]  # (8, 128), stats_out layout
+            res = resume_ref[:, :]  # (8*G, 128), stats_out layout
             iters0 = _row(res, 0)
             status0 = _row(res, 1)
             conv0 = _row(res, 2)
@@ -835,20 +921,21 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
         final_J = total_cost(UAf, USf, PXf, PYf, PVf, PHf, RKXf, RKYf, RKHf,
                              rhof, musf)
 
-        u_out[0:NH, :] = UAf
-        u_out[NH:2 * NH, :] = USf
-        x_out[0:NH, :] = PXf
-        x_out[NH:2 * NH, :] = PYf
-        x_out[2 * NH:3 * NH, :] = PVf
-        x_out[3 * NH:4 * NH, :] = PHf
-        stats_out[0:1, :] = itersf
-        stats_out[1:2, :] = statusf
-        stats_out[2:3, :] = convf
-        stats_out[3:4, :] = ovff
-        stats_out[4:5, :] = final_J
-        stats_out[5:6, :] = lambf
-        stats_out[6:7, :] = probef if _PROBE else jnp.zeros((1, LANES), f32)
-        stats_out[7:8, :] = jnp.zeros((1, LANES), f32)
+        u_out[0:NHG, :] = UAf
+        u_out[NHG:2 * NHG, :] = USf
+        x_out[0:NHG, :] = PXf
+        x_out[NHG:2 * NHG, :] = PYf
+        x_out[2 * NHG:3 * NHG, :] = PVf
+        x_out[3 * NHG:4 * NHG, :] = PHf
+        stats_out[0:G, :] = itersf
+        stats_out[G:2 * G, :] = statusf
+        stats_out[2 * G:3 * G, :] = convf
+        stats_out[3 * G:4 * G, :] = ovff
+        stats_out[4 * G:5 * G, :] = final_J
+        stats_out[5 * G:6 * G, :] = lambf
+        stats_out[6 * G:7 * G, :] = (probef if _PROBE
+                                     else jnp.zeros((G, LANES), f32))
+        stats_out[7 * G:8 * G, :] = jnp.zeros((G, LANES), f32)
 
     return kernel
 
@@ -859,12 +946,12 @@ _PROJ_SLACK = 48  # extra window rows (4.8 m) above the per-step search bound
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "window", "interpret", "straggler_cap",
-                     "proj_rows_per_step"),
+                     "proj_rows_per_step", "groups"),
 )
 def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
                        window: int = 512, interpret: bool = False,
                        u_init=None, straggler_cap: int = 0,
-                       proj_rows_per_step: int = 0):
+                       proj_rows_per_step: int = 0, groups: int = 1):
     """Batched CILQR solve via the fused kernel.
 
     Args mirror :func:`ilqr_tpu.solvers.cilqr.solve_batch` (cold start,
@@ -904,6 +991,13 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     limit (trial rollouts can transiently exceed velo_max; a too-tight
     bound can only raise a trial's cost, i.e. reject near-marginal steps,
     never accept new ones -- see project()).
+
+    ``groups``: scenario groups per kernel tile (see ``_build_kernel``).
+    groups=8 packs 1024 scenarios per tile so every per-step quantity is
+    a full (8, 128) vector register; fold-based reduction orders differ
+    from groups=1 in f32 rounding, so per-row iteration paths can diverge
+    near accept thresholds while solution statistics agree (the same
+    criteria as TPU-vs-CPU validation, tools/validate_kernel_tpu.py).
     """
     if straggler_cap and cfg.solve_type == "alm":
         raise NotImplementedError(
@@ -915,11 +1009,30 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
             "use the XLA path (ilqr_tpu.solvers.cilqr.solve)")
     N, M = cfg.N, max(cfg.num_obstacles, 1)
     assert N + 1 <= NH
+    G = groups
+    assert not (_PROBE and G > 1), "perf probes are groups=1 only"
     f32 = jnp.float32
     x0_b = jnp.asarray(x0_b, f32)
     B = x0_b.shape[0]
-    Bp = -(-B // LANES) * LANES
+    Bp = -(-B // (LANES * G)) * (LANES * G)
     W = window
+
+    def _ilv(a):
+        """(R, Bp) scenario-major -> (R*G, Bp/G) group-interleaved: packed
+        row r*G+g, col t*128+l holds a[r, (t*G+g)*128+l]."""
+        if G == 1:
+            return a
+        R = a.shape[0]
+        return (a.reshape(R, Bp // (G * LANES), G, LANES)
+                .transpose(0, 2, 1, 3).reshape(R * G, Bp // G))
+
+    def _unilv(a):
+        """Inverse of :func:`_ilv`."""
+        if G == 1:
+            return a
+        RG = a.shape[0]
+        return (a.reshape(RG // G, G, Bp // (G * LANES), LANES)
+                .transpose(0, 2, 1, 3).reshape(RG // G, Bp))
 
     ref = jnp.asarray(scenario_b.ref_line, f32)  # (B, P, 4)
     P = ref.shape[1]
@@ -985,7 +1098,7 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     rear = cfg.reference_point == "rear_center"
     alm = cfg.solve_type == "alm"
 
-    grid = (Bp // LANES,)
+    grid = (Bp // (LANES * G),)
     bspec = lambda rows: pl.BlockSpec((rows, LANES), lambda i: (0, i),
                                       memory_space=pltpu.VMEM)
 
@@ -1000,30 +1113,34 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
 
     def call_kernel(uinit_s, x0_s, rx_s, ry_s, ryaw_s, ox_s, oy_s, oyaw_s,
                     resume_rows, max_iter_k, it0_k):
+        # args arrive scenario-major; the kernel sees them group-interleaved
         kernel = _build_kernel(N, M, W, max_iter_k, n_alphas, rear, alm,
                                resume=resume_rows is not None, it0=it0_k,
-                               row_limits=row_limits)
+                               row_limits=row_limits, G=G)
         in_specs = [
             pl.BlockSpec((_NWTS, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            bspec(8), bspec(2 * NH), bspec(W), bspec(W), bspec(W),
-            bspec(M * NH), bspec(M * NH), bspec(M * NH),
+            bspec(8 * G), bspec(2 * NH * G), bspec(W * G), bspec(W * G),
+            bspec(W * G), bspec(M * NH * G), bspec(M * NH * G),
+            bspec(M * NH * G),
         ]
-        args = [wt, x0_s, uinit_s, rx_s, ry_s, ryaw_s, ox_s, oy_s, oyaw_s]
+        args = [wt] + [_ilv(a) for a in
+                       (x0_s, uinit_s, rx_s, ry_s, ryaw_s, ox_s, oy_s, oyaw_s)]
         if resume_rows is not None:
-            in_specs.append(bspec(8))
-            args.append(resume_rows)
-        return pl.pallas_call(
+            in_specs.append(bspec(8 * G))
+            args.append(_ilv(resume_rows))
+        outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=[bspec(2 * NH), bspec(4 * NH), bspec(8)],
+            out_specs=[bspec(2 * NH * G), bspec(4 * NH * G), bspec(8 * G)],
             out_shape=[
-                jax.ShapeDtypeStruct((2 * NH, Bp), f32),
-                jax.ShapeDtypeStruct((4 * NH, Bp), f32),
-                jax.ShapeDtypeStruct((8, Bp), f32),
+                jax.ShapeDtypeStruct((2 * NH * G, Bp // G), f32),
+                jax.ShapeDtypeStruct((4 * NH * G, Bp // G), f32),
+                jax.ShapeDtypeStruct((8 * G, Bp // G), f32),
             ],
             interpret=interpret,
         )(*args)
+        return tuple(_unilv(o) for o in outs)
 
     caps = (straggler_cap if isinstance(straggler_cap, tuple)
             else ((straggler_cap,) if straggler_cap else ()))

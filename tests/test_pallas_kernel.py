@@ -232,3 +232,42 @@ def test_kernel_projection_bound_generous_is_exact(small_problem):
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
     np.testing.assert_array_equal(np.asarray(st1.iters), np.asarray(st2.iters))
     np.testing.assert_array_equal(np.asarray(st1.status), np.asarray(st2.status))
+
+
+def test_kernel_groups8_matches_groups1(small_problem):
+    """Group-interleaved layout (groups=8, full-vreg per-step rows) vs the
+    replicated-row layout. Fold-based reduction orders differ in f32
+    rounding, so unconverged oscillator rows may take different paths; the
+    validation criteria are the hardware ones (tools/validate_kernel_tpu.py):
+    identical iteration counts/statuses on this margin-comfortable problem
+    and tight solution agreement on converged rows."""
+    cfg, w, x0_b, scen_b = small_problem
+    u1, x1, st1 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=64,
+                                     interpret=True)
+    u8, x8, st8 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=64,
+                                     interpret=True, groups=8)
+    np.testing.assert_array_equal(np.asarray(st1.iters), np.asarray(st8.iters))
+    np.testing.assert_array_equal(np.asarray(st1.status),
+                                  np.asarray(st8.status))
+    conv = np.asarray(st1.converged)
+    assert conv.any()
+    np.testing.assert_allclose(np.asarray(u8)[conv], np.asarray(u1)[conv],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x8)[conv], np.asarray(x1)[conv],
+                               atol=1e-4)
+
+
+def test_kernel_groups8_straggler_resume_bitwise(small_problem):
+    """Straggler compaction at groups=8 must still be an exact resume:
+    capped-pass + sorted-resume == single pass, bitwise."""
+    cfg, w, x0_b, scen_b = small_problem
+    u1, x1, st1 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=64,
+                                     interpret=True, groups=8)
+    u2, x2, st2 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=64,
+                                     interpret=True, groups=8,
+                                     straggler_cap=3)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(st1.iters), np.asarray(st2.iters))
+    np.testing.assert_array_equal(np.asarray(st1.status),
+                                  np.asarray(st2.status))

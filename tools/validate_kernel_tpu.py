@@ -33,7 +33,8 @@ SCENARIOS = [
 ]
 
 
-def run_one(name: str, batch: int, window: int, proj_rows: int = 0) -> bool:
+def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
+            groups: int = 1) -> bool:
     from ilqr_tpu.config import GlobalConfig
     from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
     from ilqr_tpu.sim.scenario import build_scenario_setup, perturbed_initial_states
@@ -56,7 +57,8 @@ def run_one(name: str, batch: int, window: int, proj_rows: int = 0) -> bool:
         proj_rows = int(np.ceil(1.5 * float(gc["vehicle/velo_max"])
                                 * float(gc["delta_t"]) / 0.1))
     u_k, x_k, st_k = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=window,
-                                        proj_rows_per_step=proj_rows)
+                                        proj_rows_per_step=proj_rows,
+                                        groups=groups)
     u_k, x_k = np.asarray(u_k), np.asarray(x_k)
     it_k = np.asarray(st_k.iters)
     stat_k = np.asarray(st_k.status)
@@ -110,13 +112,16 @@ def main():
     ap.add_argument("--scenario", default=None)
     ap.add_argument("--proj-rows", type=int, default=0,
                     help="per-step projection bound (-1 = derive from yaml)")
+    ap.add_argument("--groups", type=int, default=1,
+                    help="scenario groups per kernel tile (1 or 8)")
     args = ap.parse_args()
     names = [args.scenario] if args.scenario else SCENARIOS
     print(f"backend={jax.default_backend()} devices={len(jax.devices())}",
           flush=True)
     ok = True
     for n in names:
-        ok = run_one(n, args.batch, args.window, args.proj_rows) and ok
+        ok = run_one(n, args.batch, args.window, args.proj_rows,
+                     args.groups) and ok
     sys.exit(0 if ok else 1)
 
 
