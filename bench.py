@@ -41,22 +41,8 @@ def build(batch: int, dtype=jnp.float32):
     scen_b = jax.tree.map(lambda a: jnp.stack([a] * batch), scenario)
 
     n_dev = len(jax.devices())
-    if n_dev > 1:
-        from ilqr_tpu.parallel import make_mesh, shard_batch, sharded_solve_fn
-        from ilqr_tpu.parallel.sharding import replicate
-
-        mesh = make_mesh(n_dev)
-        fn = sharded_solve_fn(mesh, cfg)
-        w_d = replicate(mesh, w)
-        x0_d = shard_batch(mesh, x0_b)
-        scen_d = shard_batch(mesh, scen_b)
-
-        def run():
-            u, x, stats, summary = fn(w_d, x0_d, scen_d)
-            return stats.iters, summary["converged_frac"]
-    elif impl == "kernel" and jax.default_backend() != "cpu":
-        from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
-
+    use_kernel = impl == "kernel" and jax.default_backend() != "cpu"
+    if use_kernel:
         # 384-sample window validated on this workload: convergence stats
         # identical to the full reference line (see kernel docstring)
         window = int(os.environ.get("BENCH_WINDOW", "384"))
@@ -75,6 +61,37 @@ def build(batch: int, dtype=jnp.float32):
         # scenario groups per kernel tile (1 = replicated per-step rows,
         # 8 = full-vreg rows; see cilqr_kernel._build_kernel)
         groups = int(os.environ.get("BENCH_GROUPS", "1"))
+    if use_kernel and n_dev > 1:
+        # fused kernel per shard, batch row-partitioned over the mesh
+        from ilqr_tpu.parallel import make_mesh, shard_batch, sharded_kernel_solve_fn
+        from ilqr_tpu.parallel.sharding import replicate
+
+        mesh = make_mesh(n_dev)
+        fn = sharded_kernel_solve_fn(
+            mesh, cfg, window=window, straggler_cap=cap,
+            proj_rows_per_step=proj_rows, groups=groups)
+        w_d = replicate(mesh, w)
+        x0_d = shard_batch(mesh, x0_b)
+        scen_d = shard_batch(mesh, scen_b)
+
+        def run():
+            u, x, stats, summary = fn(w_d, x0_d, scen_d)
+            return stats.iters, summary["converged_frac"]
+    elif n_dev > 1:
+        from ilqr_tpu.parallel import make_mesh, shard_batch, sharded_solve_fn
+        from ilqr_tpu.parallel.sharding import replicate
+
+        mesh = make_mesh(n_dev)
+        fn = sharded_solve_fn(mesh, cfg)
+        w_d = replicate(mesh, w)
+        x0_d = shard_batch(mesh, x0_b)
+        scen_d = shard_batch(mesh, scen_b)
+
+        def run():
+            u, x, stats, summary = fn(w_d, x0_d, scen_d)
+            return stats.iters, summary["converged_frac"]
+    elif use_kernel:
+        from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
 
         def run():
             u, x, stats = cilqr_solve_pallas(cfg, w, x0_b, scen_b,

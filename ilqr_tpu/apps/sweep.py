@@ -68,8 +68,17 @@ def main(argv=None) -> int:
 
     use_mesh = n_dev > 1
     if use_mesh:
+        from ilqr_tpu.parallel import sharded_kernel_solve_fn
+
         mesh = make_mesh(n_dev)
-        solve_fn = sharded_solve_fn(mesh, cfg)
+        if args.engine == "kernel":
+            # fused kernel per shard: the perf path scales with the mesh
+            solve_fn = sharded_kernel_solve_fn(
+                mesh, cfg,
+                straggler_cap=(0 if cfg.solve_type == "alm"
+                               else args.straggler_cap))
+        else:
+            solve_fn = sharded_solve_fn(mesh, cfg)
         w_d = replicate(mesh, w)
     elif args.engine == "kernel":
         from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas

@@ -71,6 +71,49 @@ def aggregate_stats(stats: SolveStats, axis_name: Optional[str] = None):
     return local
 
 
+def sharded_kernel_solve_fn(mesh: Mesh, cfg: CILQRConfig, *,
+                            window: int = 512,
+                            straggler_cap=0,
+                            proj_rows_per_step: int = 0,
+                            groups: int = 1,
+                            interpret: bool = False,
+                            axis_name: str = DATA_AXIS,
+                            with_stats_psum: bool = True):
+    """Mesh-sharded batched solve on the *fused Pallas kernel* path.
+
+    Same contract as :func:`sharded_solve_fn` --
+    ``fn(w, x0_batch, scenario_batch) -> (u, x, stats, summary)`` with the
+    batch row-partitioned over ``axis_name`` -- but each shard runs
+    :func:`ilqr_tpu.ops.pallas.cilqr_kernel.cilqr_solve_pallas` on its local
+    rows instead of the XLA-composed solver (~60x faster per chip,
+    docs/PERFORMANCE.md). The workload is embarrassingly parallel, so the
+    kernel composes with ``shard_map`` with zero cross-device traffic in the
+    hot path: batch padding to lane multiples and the straggler-compaction
+    argsort both stay shard-local; only the O(bytes) stats summary is
+    psum'd. Kernel knobs (``window``, ``straggler_cap``,
+    ``proj_rows_per_step``, ``groups``, ``interpret``) pass through
+    unchanged; per-shard semantics are exactly the single-device kernel's.
+    """
+    from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
+        check_vma=False,
+    )
+    def _sharded(w, x0_b, scen_b):
+        u, x, stats = cilqr_solve_pallas(
+            cfg, w, x0_b, scen_b, window=window, interpret=interpret,
+            straggler_cap=straggler_cap,
+            proj_rows_per_step=proj_rows_per_step, groups=groups)
+        summary = aggregate_stats(stats, axis_name if with_stats_psum else None)
+        return u, x, stats, summary
+
+    return jax.jit(_sharded)
+
+
 def sharded_solve_fn(mesh: Mesh, cfg: CILQRConfig, axis_name: str = DATA_AXIS,
                      with_stats_psum: bool = True):
     """Build a jitted, mesh-sharded batched solve.

@@ -60,6 +60,51 @@ def test_sharded_solve_matches_single_device(problem):
     )
 
 
+def test_sharded_kernel_matches_single_device_kernel():
+    """The fused Pallas kernel composed with shard_map over the 8-device
+    mesh must equal the single-device kernel call bitwise: per-shard padding
+    and compaction are shard-local, so sharding only re-tiles the batch
+    (VERDICT round-1 item 1)."""
+    import dataclasses
+
+    from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
+    from ilqr_tpu.parallel import sharded_kernel_solve_fn
+
+    gc = GlobalConfig.from_file(
+        os.path.join(CONFIG_DIR, "scenario_two_straight.yaml"))
+    st = build_scenario_setup(gc)
+    cfg = dataclasses.replace(CILQRConfig.from_global_config(gc, max_iter=8),
+                              N=6)
+    w = CILQRWeights.from_global_config(gc, dtype=jnp.float32)
+    scenario = st.device_scenario(tick=0, horizon=cfg.N, dtype=jnp.float32)
+    B = 16
+    x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, B, seed=0),
+                       jnp.float32)
+    scen_b = jax.tree.map(lambda a: jnp.stack([a] * B), scenario)
+
+    mesh = make_mesh(8)
+    fn = sharded_kernel_solve_fn(mesh, cfg, window=64, straggler_cap=3,
+                                 interpret=True)
+    u_sh, x_sh, st_sh, summary = fn(
+        replicate(mesh, w), shard_batch(mesh, x0_b), shard_batch(mesh, scen_b))
+
+    u_1, x_1, st_1 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=64,
+                                        straggler_cap=3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(u_sh), np.asarray(u_1))
+    np.testing.assert_array_equal(np.asarray(x_sh), np.asarray(x_1))
+    np.testing.assert_array_equal(np.asarray(st_sh.iters),
+                                  np.asarray(st_1.iters))
+    np.testing.assert_array_equal(np.asarray(st_sh.status),
+                                  np.asarray(st_1.status))
+    # psum'd summary equals the host-side aggregate of the full batch
+    assert float(summary["num_solves"]) == B
+    np.testing.assert_allclose(
+        float(summary["total_iters"]), float(jnp.sum(st_1.iters)), atol=1e-5)
+    # outputs stay row-partitioned (no gather happened)
+    assert len(u_sh.addressable_shards) == 8
+    assert u_sh.addressable_shards[0].data.shape[0] == B // 8
+
+
 def test_output_shardings_stay_row_partitioned(problem):
     cfg, w, x0_b, scen_b = problem
     mesh = make_mesh(8)
