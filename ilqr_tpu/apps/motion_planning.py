@@ -31,6 +31,10 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--save", default=None, help="save animation (gif/mp4)")
     parser.add_argument("--no-viz", action="store_true", help="run headless, no rendering")
+    parser.add_argument("--live", action="store_true",
+                        help="redraw each tick inside the MPC loop (the "
+                        "reference's in-loop rendering, "
+                        "src/motion_planning.cpp:182-269)")
     parser.add_argument("--f32", action="store_true", help="solve in float32 (TPU-native)")
     args = parser.parse_args(argv)
 
@@ -53,12 +57,31 @@ def main(argv=None) -> int:
 
     timer = TicToc()
 
+    live_ctx = None
+    if args.live and not args.no_viz:
+        # reference redraws and plt.pause(dt)s inside the loop
+        # (src/motion_planning.cpp:182-269)
+        from ilqr_tpu.viz.render import (
+            _plt, _steering_wheel_sprite, make_car_sprite, render_frame)
+        plt = _plt()
+        fig, ax = plt.subplots(figsize=(10, 5))
+        sprites = {
+            "ego": make_car_sprite((0.2, 0.75, 0.8)),
+            "agent": make_car_sprite((0.9, 0.9, 0.9)),
+            "wheel": _steering_wheel_sprite(),
+        }
+        live_ctx = (plt, ax, sprites, float(gc["delta_t"]))
+
     def on_tick(t, u, x, stats):
         log.info(
             "tick %3d: iters=%3d status=%d converged=%s cost=%.3f",
             t, int(stats.iters), int(stats.status), bool(stats.converged),
             float(stats.final_cost),
         )
+        if live_ctx is not None:
+            plt, ax, sprites, dt = live_ctx
+            render_frame(ax, setup, x[1], x, u[0], t, sprites=sprites)
+            plt.pause(dt)
 
     timer.tic()
     history = run_mpc(cfg, w, setup, dtype=dtype, ticks=args.ticks, on_tick=on_tick)

@@ -127,3 +127,19 @@ def stack_routing_lines(lines: Sequence[RoutingLine], dtype=np.float64) -> np.nd
         return np.zeros((0, 0, 3), dtype=dtype)
     t = min(len(l) for l in lines)
     return np.stack([l.as_array(dtype)[:t] for l in lines], axis=0)
+
+
+def get_cur_obstacle_states(routing_lines: Sequence[RoutingLine],
+                            time_index: int,
+                            dtype=np.float64) -> np.ndarray:
+    """(M, 3) obstacle states at ``time_index``.
+
+    Reference src/utils.cpp:105-115: the first routing line is the ego's,
+    so obstacles are ``routing_lines[1:]`` sampled at the tick (the C++
+    returns columns of a 3xM matrix; we return rows of an (M, 3) array).
+    """
+    obstacles = routing_lines[1:]
+    if not obstacles:
+        return np.zeros((0, 3), dtype=dtype)
+    return np.stack([np.asarray(rl[time_index], dtype=dtype)
+                     for rl in obstacles], axis=0)

@@ -227,6 +227,105 @@ def render_frame(ax, setup, ego_state, planned_x, control, tick: int,
     ax.set_aspect("equal")
 
 
+def _demo_plot_road(ax):
+    """Demo-2 road: borders at y=6/-2, dashed center at y=2
+    (reference scripts/2-cilqr-motionplanning.py:395-398)."""
+    ax.plot([-10, 50], [6, 6], linewidth=2, color="black")
+    ax.plot([-10, 50], [-2, -2], linewidth=2, color="black")
+    ax.plot([-10, 50], [2, 2], linestyle="--", color="gray")
+
+
+def _demo_plot_vehicle_fill(ax, state, length, width, is_ego):
+    """Demo-2 'fill' draw style: rotated footprint rectangle
+    (scripts/2-cilqr-motionplanning.py:419-436)."""
+    x, y, yaw = float(state[0]), float(state[1]), float(state[3])
+    box = np.array([[-length / 2, length / 2, length / 2, -length / 2, -length / 2],
+                    [width / 2, width / 2, -width / 2, -width / 2, width / 2]])
+    rot = np.array([[np.cos(yaw), -np.sin(yaw)], [np.sin(yaw), np.cos(yaw)]])
+    box = rot @ box + np.array([[x], [y]])
+    if is_ego:
+        ax.fill(box[0], box[1], color="cyan", alpha=0.5, zorder=1)
+    else:
+        ax.fill(box[0], box[1], color="red", alpha=0.5, zorder=1)
+
+
+def animate_demo_replay(u, x, obs_preds, length: float, width: float,
+                        acc_max: float, out_path: Optional[str] = None,
+                        show: bool = False, fps: int = 10):
+    """Demo-2 one-shot-solve animation replay + footprint summary.
+
+    Mirrors reference scripts/2-cilqr-motionplanning.py:479-503: the solved
+    trajectory is replayed frame by frame (road, console HUD, ego + the two
+    predicted obstacles), then a final plot overlays every second footprint.
+    Note the reference passes ``(acc, steer)`` into ``plot_console(steer,
+    acc)`` (:482) -- a plot-only argument swap; we draw the console with
+    the correct mapping.
+
+    Args: u (N, 2) controls, x (N+1, 4) states, obs_preds (M, N+1, 4).
+    Returns the matplotlib figure.
+    """
+    plt = _plt()
+    from matplotlib.transforms import Affine2D
+
+    u = np.asarray(u)
+    x = np.asarray(x)
+    obs_preds = np.asarray(obs_preds)
+    N = u.shape[0]
+    ego_sprite = make_car_sprite((0.2, 0.75, 0.8))
+    agent_sprite = make_car_sprite((0.9, 0.9, 0.9))
+    wheel = _steering_wheel_sprite()
+    fig, ax = plt.subplots(figsize=(10, 5))
+
+    def draw(i):
+        ax.cla()
+        _demo_plot_road(ax)
+        # console (scripts/2-cilqr-motionplanning.py:434-450): wheel rotated
+        # 1.5x steer at extent [-8,-2]x[8,14], brake/acc bars beside it
+        acc_cmd, steer_cmd = float(u[i, 0]), float(u[i, 1])
+        tr = Affine2D().rotate_deg_around(
+            -5, 11, 1.5 * np.degrees(steer_cmd)) + ax.transData
+        ax.imshow(wheel, transform=tr, extent=[-8, -2, 8, 14], zorder=10.0,
+                  clip_on=True)
+        acc = max(acc_cmd, 0.0)
+        brake = max(-acc_cmd, 0.0)
+        ax.fill([-1, 0, 0, -1],
+                [8, 8, 8 + 6 * brake / acc_max, 8 + 6 * brake / acc_max], "c")
+        ax.fill([1, 2, 2, 1],
+                [8, 8, 8 + 6 * acc / acc_max, 8 + 6 * acc / acc_max],
+                color="orange")
+        plot_vehicle(ax, ego_sprite, x[i], length, width)
+        for m in range(obs_preds.shape[0]):
+            plot_vehicle(ax, agent_sprite, obs_preds[m, i], length, width)
+        ax.set_xlim(-10, 50)
+        ax.set_ylim(-5, 15)
+        ax.set_aspect("equal")
+
+    if out_path:
+        from matplotlib.animation import FuncAnimation
+        anim = FuncAnimation(fig, draw, frames=N, interval=1000 / fps)
+        anim.save(out_path, fps=fps)
+    elif show:
+        for i in range(N):
+            draw(i)
+            plt.pause(1.0 / fps)
+    else:
+        draw(N - 1)
+
+    # footprint summary: every second step, fill style (:497-503)
+    ax.cla()
+    _demo_plot_road(ax)
+    for i in range(0, N, 2):
+        _demo_plot_vehicle_fill(ax, x[i], length, width, True)
+        for m in range(obs_preds.shape[0]):
+            _demo_plot_vehicle_fill(ax, obs_preds[m, i], length, width, False)
+    ax.set_xlim(-10, 50)
+    ax.set_ylim(-5, 15)
+    ax.set_aspect("equal")
+    if show:
+        plt.pause(2.0)
+    return fig
+
+
 def animate_episode(setup, history, out_path: Optional[str] = None,
                     fps: int = 10, show: bool = False):
     """Render a whole run_mpc() history; optionally save as GIF/MP4."""

@@ -55,6 +55,49 @@ def test_make_car_sprite_rgba():
     assert s[0, 0, 3] == 0.0  # transparent corners
 
 
+def test_get_cur_obstacle_states():
+    from ilqr_tpu.utils.refline import RoutingLine, get_cur_obstacle_states
+
+    ego = RoutingLine([0, 1], [0, 0], [0, 0])
+    a1 = RoutingLine([5, 6], [1, 1], [0.1, 0.1])
+    a2 = RoutingLine([9, 10], [2, 2], [0.2, 0.2])
+    # reference src/utils.cpp:105-115: line 0 is the ego's, rest are agents
+    out = get_cur_obstacle_states([ego, a1, a2], 1)
+    assert out.shape == (2, 3)
+    np.testing.assert_allclose(out[0], [6.0, 1.0, 0.1])
+    np.testing.assert_allclose(out[1], [10.0, 2.0, 0.2])
+    assert get_cur_obstacle_states([ego], 0).shape == (0, 3)
+
+
+def test_animate_demo_replay_smoke(tmp_path):
+    """Demo-2 replay renders headless and saves a GIF
+    (reference scripts/2-cilqr-motionplanning.py:479-503)."""
+    from ilqr_tpu.viz.render import animate_demo_replay
+
+    N = 6
+    x = np.zeros((N + 1, 4))
+    x[:, 0] = np.arange(N + 1) * 0.5
+    x[:, 2] = 5.0
+    u = np.tile(np.asarray([0.5, -0.02]), (N, 1))
+    obs = np.zeros((2, N + 1, 4))
+    obs[0, :, 0] = 6.5 + 0.3 * np.arange(N + 1)
+    obs[1, :, 0] = 20.0
+    obs[1, :, 1] = 4.0
+    out = tmp_path / "demo.gif"
+    fig = animate_demo_replay(u, x, obs, length=4.5, width=2.0, acc_max=2.0,
+                              out_path=str(out))
+    assert out.exists() and out.stat().st_size > 0
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+
+
+def test_cilqr_demo_cli_smoke(tmp_path):
+    """apps.cilqr_demo runs headless end to end (tiny iteration budget)."""
+    from ilqr_tpu.apps.cilqr_demo import main
+
+    assert main(["--no-viz", "--max-iter", "3", "--f32"]) == 0
+
+
 def test_render_frame_smoke():
     import matplotlib.pyplot as plt
     import jax.numpy as jnp
