@@ -78,19 +78,22 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
     In ALM mode the per-constraint dual state (mu slabs, one per constraint
     column in the reference's layout, plus the scalar rho) lives in the
     iteration carry; duals update on line-search exhaustion exactly like
-    the reference (src/cilqr_solver.cpp:377-379, 622-676). ALM runs cold
-    per solve (the reference's default reset, :88-93); ALM + warm-start
-    carries stay on the XLA path.
+    the reference (src/cilqr_solver.cpp:377-379, 622-676). The dual state
+    is kernel I/O: an extra input slab seeds (mu, rho) -- zeros + rho_init
+    reproduces the reference's cold reset (:88-93), a previous solve's
+    output is a warm-start carry (:94-102) -- and an extra output slab
+    returns the final duals, so ALM composes with MPC warm starts and with
+    straggler compaction.
 
-    ``resume`` (barrier mode): the kernel takes one extra (8, 128) input in
-    the stats_out layout and restarts the solver loop mid-flight from it at
-    lockstep iteration ``it0``. This is exact because the full iteration
-    carry is reconstructible: the trajectory is the deterministic rollout
-    of the carried controls from x0 (forward() produces exactly that
-    rollout), its projection is a pure function of the trajectory, and the
-    remaining scalars (lambda, status, converged/overflow flags, iteration
-    counts) ride the stats slab. Used for straggler compaction (see
-    ``cilqr_solve_pallas``).
+    ``resume``: the kernel takes one extra (8, 128) input in the stats_out
+    layout and restarts the solver loop mid-flight from it at lockstep
+    iteration ``it0``. This is exact because the full iteration carry is
+    reconstructible: the trajectory is the deterministic rollout of the
+    carried controls from x0 (forward() produces exactly that rollout),
+    its projection is a pure function of the trajectory, and the remaining
+    scalars (lambda, status, converged/overflow flags, iteration counts)
+    ride the stats slab; in ALM mode the dual slabs ride the ALM I/O slab.
+    Used for straggler compaction (see ``cilqr_solve_pallas``).
 
     ``G`` (group-interleaved layout): each tile carries G*128 scenarios.
     Slab row k*G+g holds step k of scenario group g, so every per-step
@@ -109,14 +112,24 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
     assert G == 1 or G == 8, "G must be 1 (replicated rows) or 8 (vreg rows)"
 
     def kernel(*refs):
+        (wts_ref, x0_ref, uinit_ref, rx_ref, ry_ref, ryaw_ref,
+         ox_ref, oy_ref, oyaw_ref) = refs[:9]
+        i = 9
+        resume_ref = None
         if resume:
-            (wts_ref, x0_ref, uinit_ref, rx_ref, ry_ref, ryaw_ref,
-             ox_ref, oy_ref, oyaw_ref, resume_ref,
-             u_out, x_out, stats_out) = refs
-        else:
-            (wts_ref, x0_ref, uinit_ref, rx_ref, ry_ref, ryaw_ref,
-             ox_ref, oy_ref, oyaw_ref,
-             u_out, x_out, stats_out) = refs
+            resume_ref = refs[i]
+            i += 1
+        alm_ref = None
+        if use_alm:
+            # ALM dual-state input: C mu slabs + a trailing 8-step-row block
+            # whose first row is rho (see _pack_alm in cilqr_solve_pallas).
+            # Zero mu + rho_init == the reference's cold reset
+            # (src/cilqr_solver.cpp:88-93); nonzero input is a warm-start /
+            # straggler-resume carry.
+            alm_ref = refs[i]
+            i += 1
+        u_out, x_out, stats_out = refs[i:i + 3]
+        alm_out = refs[i + 3] if use_alm else None
         row_iota = lax.broadcasted_iota(jnp.int32, (NHG, LANES), 0)
         step_iota = row_iota // G if G > 1 else row_iota
         state_mask = (step_iota >= 1) & (step_iota <= N)  # steps 1..N
@@ -178,8 +191,8 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
         inv_a2 = 1.0 / (ell_a * ell_a)
         inv_b2 = 1.0 / (ell_b * ell_b)
 
-        x0s = x0_ref[:, :]  # (8, 128)
-        x0 = [_row(x0s, i) for i in range(4)]  # rows (1, 128)
+        x0s = x0_ref[:, :]  # (8*G, 128)
+        x0 = [_row(x0s, i) for i in range(4)]  # rows (G, 128)
         rb_hi = _row(x0s, 4)
         rb_lo = _row(x0s, 5)
         ref_velo = _row(x0s, 6)
@@ -267,11 +280,15 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             for k in range(N + 1):
                 R = W if row_limits is None else row_limits[k]
                 if G > 1:
-                    # first-argmin as one pair fold carrying
-                    # (d2, x, y, yaw): strict less-than keeps the earlier
-                    # window row on ties and each level compares a
-                    # lower-index block against a higher one, so the fold
-                    # resolves exactly to the first global minimum.
+                    # argmin as one pair fold carrying (d2, x, y, yaw).
+                    # Strict less-than keeps the lower slot on ties at each
+                    # level, but slot order stops tracking original window-
+                    # row order after the first level, so tie-breaking is
+                    # tournament-order, NOT first-match. This is exact for
+                    # the ties this kernel actually produces (repeated tail
+                    # window rows carry identical x/y/yaw, so any winner
+                    # yields the same projected values); do not rely on
+                    # first-match index semantics here.
                     rxk, ryk, rhk = rx[:R * G], ry[:R * G], ryaw[:R * G]
                     dx = rxk - _tile_rows(pxr[k], R)
                     dy = ryk - _tile_rows(pyr[k], R)
@@ -665,7 +682,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                 dV1 = dV1 + 0.5 * (d0 * Qud[0] + d1 * Qud[1])
                 dV2 = dV2 + d0 * Qu[0] + d1 * Qu[1]
 
-            # gains stay as per-step (1, 128) row lists: forward consumes
+            # gains stay as per-step (G, 128) row lists: forward consumes
             # them by index, so packing them into slabs (and re-extracting
             # with masked reduces) would only add parasitic VPU work
             return d_rows, K_rows, dV1, dV2, fail
@@ -674,7 +691,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                     d_rows, K_rows, alpha):
             """Closed-loop trial rollout (reference src/cilqr_solver.cpp:442-461).
 
-            The reference trajectory arrives as per-step (1, 128) rows,
+            The reference trajectory arrives as per-step (G, 128) rows,
             extracted once per solver iteration and shared by every
             line-search trial (extraction is a masked slab reduce -- see
             ``_row`` -- so hoisting it out of the trial loop matters)."""
@@ -889,10 +906,17 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             return out + (probe_acc,) if _PROBE else out
 
         ones = lane0 + 1.0  # lane-anchored 1.0 row (True as f32)
-        zslab = row_iota.astype(f32) * 0.0 + (
-            lane0 if G == 1 else _tile_rows(lane0, NH))  # lane-anchored 0 slab
-        rho0 = lane0 + w(_RHO_INIT)
-        mus0 = tuple(zslab for _ in range(C)) if use_alm else ()
+        if use_alm:
+            # mu slabs and rho arrive as data (lane-varying, so the loop
+            # carries are layout-anchored for free); constraint i's slab is
+            # an NH-step chunk at a sublane-aligned offset, so the slices
+            # keep the native slab layout
+            A0 = alm_ref[:, :]  # ((C*NH + 8)*G, 128)
+            mus0 = tuple(A0[i * NHG:(i + 1) * NHG] for i in range(C))
+            rho0 = _row(A0, C * NH)
+        else:
+            rho0 = lane0 + w(_RHO_INIT)
+            mus0 = ()
         if resume:
             res = resume_ref[:, :]  # (8*G, 128), stats_out layout
             iters0 = _row(res, 0)
@@ -936,6 +960,12 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
         stats_out[6 * G:7 * G, :] = (probef if _PROBE
                                      else jnp.zeros((G, LANES), f32))
         stats_out[7 * G:8 * G, :] = jnp.zeros((G, LANES), f32)
+        if use_alm:
+            for i in range(C):
+                alm_out[i * NHG:(i + 1) * NHG, :] = musf[i]
+            alm_out[C * NHG:C * NHG + G, :] = rhof
+            alm_out[C * NHG + G:C * NHG + 8 * G, :] = jnp.zeros(
+                (7 * G, LANES), f32)
 
     return kernel
 
@@ -946,19 +976,28 @@ _PROJ_SLACK = 48  # extra window rows (4.8 m) above the per-step search bound
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "window", "interpret", "straggler_cap",
-                     "proj_rows_per_step", "groups"),
+                     "proj_rows_per_step", "groups", "return_alm"),
 )
 def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
                        window: int = 512, interpret: bool = False,
                        u_init=None, straggler_cap: int = 0,
-                       proj_rows_per_step: int = 0, groups: int = 1):
+                       proj_rows_per_step: int = 0, groups: int = 1,
+                       alm_mu0=None, alm_rho0=None, return_alm: bool = False):
     """Batched CILQR solve via the fused kernel.
 
-    Args mirror :func:`ilqr_tpu.solvers.cilqr.solve_batch` (cold start,
-    barrier mode). x0_b: (B, 4); scenario_b: Scenario with leading batch
-    axis. B is padded to a multiple of 128 internally.
+    Args mirror :func:`ilqr_tpu.solvers.cilqr.solve_batch`. x0_b: (B, 4);
+    scenario_b: Scenario with leading batch axis. B is padded to a
+    multiple of 128 internally.
 
-    Returns (u (B, N, 2), x (B, N+1, 4), SolveStats).
+    Returns (u (B, N, 2), x (B, N+1, 4), SolveStats), plus
+    (alm_mu (B, N, C), alm_rho (B,)) when ``return_alm``.
+
+    ALM warm starts: ``alm_mu0`` (B, N, C) / ``alm_rho0`` (B,) seed the
+    dual state (None = the reference's cold reset, zero mu + rho_init,
+    src/cilqr_solver.cpp:88-93). The warm-start *policy* -- when to reuse
+    the previous solve's duals vs reset (:88-102) -- lives in the caller,
+    exactly as :func:`ilqr_tpu.solvers.cilqr.solve` takes it from the
+    carry; pass the previous solve's ``return_alm`` outputs to carry.
 
     ``window`` is the per-scenario reference-line span (0.1 m samples: 64
     behind the ego's initial projection, window-64 ahead) every projection
@@ -969,7 +1008,7 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     statistics (window=768 is bit-identical, tools/validate_kernel_tpu.py)
     while 256 does not, so the default keeps a safety margin above 384.
 
-    ``straggler_cap`` (barrier mode): straggler compaction. Lockstep tiles
+    ``straggler_cap``: straggler compaction. Lockstep tiles
     pay the *max* iteration count over their 128 lanes (p50 is ~9 but rare
     rows run the full max_iter budget -- docs/PERFORMANCE.md "Lockstep
     economics"). With a cap K, phase 1 runs every row for at most K
@@ -999,14 +1038,6 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     near accept thresholds while solution statistics agree (the same
     criteria as TPU-vs-CPU validation, tools/validate_kernel_tpu.py).
     """
-    if straggler_cap and cfg.solve_type == "alm":
-        raise NotImplementedError(
-            "straggler compaction resumes from (u, stats) only; ALM dual "
-            "slabs are not carried across phases -- use straggler_cap=0")
-    if cfg.solve_type == "alm" and cfg.use_last_solution:
-        raise NotImplementedError(
-            "fused kernel runs ALM cold per solve; ALM + warm-start carries "
-            "use the XLA path (ilqr_tpu.solvers.cilqr.solve)")
     N, M = cfg.N, max(cfg.num_obstacles, 1)
     assert N + 1 <= NH
     G = groups
@@ -1056,7 +1087,14 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
                   constant_values=1e6)
 
     def pad_b(a):
-        return jnp.pad(a, ((0, Bp - B),) + ((0, 0),) * (a.ndim - 1))
+        # Batch pads to a LANES*G multiple (1024 rows at G=8). Padded lanes
+        # replicate the last real scenario (mode="edge") rather than zeros:
+        # a zero scenario never converges, so zero-padding would make every
+        # tile containing pad lanes run to max_iter and re-sort the pads as
+        # stragglers each compaction phase. Edge copies converge exactly
+        # when their source row does. Results are sliced back to [:B].
+        return jnp.pad(a, ((0, Bp - B),) + ((0, 0),) * (a.ndim - 1),
+                       mode="edge")
 
     x0_in = jnp.concatenate(
         [x0_b, jnp.broadcast_to(scenario_b.road_borders, (B, 2)).astype(f32),
@@ -1077,6 +1115,28 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     oy = pad_b(obs[:, :, :, 1].reshape(B, M * NH)).T
     oyaw = pad_b(obs[:, :, :, 2].reshape(B, M * NH)).T
 
+    alm = cfg.solve_type == "alm"
+    C_k = 8 + 2 * M  # kernel dual columns (incl. the inert fake obstacle)
+    if alm:
+        # dual-state input slab: C_k mu slabs + an 8-row tail whose first
+        # row is rho (see _build_kernel). Column k of the (N, C0) carry
+        # maps to slab step rows k (control cols 0-3) / k+1 (state and
+        # obstacle cols), mirroring the kernel's ctrl_mask/state_mask rows.
+        slab = jnp.zeros((B, C_k, NH), f32)
+        if alm_mu0 is not None:
+            mu_t = jnp.moveaxis(jnp.asarray(alm_mu0, f32), -1, 1)  # (B,C0,N)
+            C0 = mu_t.shape[1]
+            slab = slab.at[:, :4, 0:N].set(mu_t[:, :4])
+            slab = slab.at[:, 4:C0, 1:N + 1].set(mu_t[:, 4:])
+        rho_in = (jnp.broadcast_to(jnp.asarray(alm_rho0, f32), (B,))
+                  if alm_rho0 is not None
+                  else jnp.broadcast_to(jnp.asarray(w.alm_rho_init, f32), (B,)))
+        tail = jnp.zeros((B, 8), f32).at[:, 0].set(rho_in)
+        alm_in = pad_b(
+            jnp.concatenate([slab.reshape(B, C_k * NH), tail], axis=1)).T
+    else:
+        alm_in = None
+
     wt = jnp.zeros((_NWTS, 1), f32)
     vals = {
         _DT: w.dt, _WB: w.wheelbase, _WIDTH: w.width, _LENGTH: w.length,
@@ -1096,7 +1156,6 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
 
     n_alphas = _alpha_count(cfg.min_alpha)
     rear = cfg.reference_point == "rear_center"
-    alm = cfg.solve_type == "alm"
 
     grid = (Bp // (LANES * G),)
     bspec = lambda rows: pl.BlockSpec((rows, LANES), lambda i: (0, i),
@@ -1112,7 +1171,7 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         row_limits = None
 
     def call_kernel(uinit_s, x0_s, rx_s, ry_s, ryaw_s, ox_s, oy_s, oyaw_s,
-                    resume_rows, max_iter_k, it0_k):
+                    resume_rows, max_iter_k, it0_k, alm_s=None):
         # args arrive scenario-major; the kernel sees them group-interleaved
         kernel = _build_kernel(N, M, W, max_iter_k, n_alphas, rear, alm,
                                resume=resume_rows is not None, it0=it0_k,
@@ -1128,19 +1187,38 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         if resume_rows is not None:
             in_specs.append(bspec(8 * G))
             args.append(_ilv(resume_rows))
+        out_specs = [bspec(2 * NH * G), bspec(4 * NH * G), bspec(8 * G)]
+        out_shape = [
+            jax.ShapeDtypeStruct((2 * NH * G, Bp // G), f32),
+            jax.ShapeDtypeStruct((4 * NH * G, Bp // G), f32),
+            jax.ShapeDtypeStruct((8 * G, Bp // G), f32),
+        ]
+        if alm:
+            in_specs.append(bspec((C_k * NH + 8) * G))
+            args.append(_ilv(alm_s))
+            out_specs.append(bspec((C_k * NH + 8) * G))
+            out_shape.append(
+                jax.ShapeDtypeStruct(((C_k * NH + 8) * G, Bp // G), f32))
+        # At G>1 the kernel's live values are ~8x the G=1 case (full-vreg
+        # per-step rows), far beyond Mosaic's default 16 MiB scoped-vmem
+        # budget: measured stack demands on v5e at G=8/W=384 are 67.1M
+        # (M=4 main variant) and 87.9M (resume variant). v5e has 128 MiB
+        # VMEM and the double-buffered block I/O is ~15 MiB, so a 100 MiB
+        # scoped budget fits.
+        compiler_params = (
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if G > 1 else None)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=[bspec(2 * NH * G), bspec(4 * NH * G), bspec(8 * G)],
-            out_shape=[
-                jax.ShapeDtypeStruct((2 * NH * G, Bp // G), f32),
-                jax.ShapeDtypeStruct((4 * NH * G, Bp // G), f32),
-                jax.ShapeDtypeStruct((8 * G, Bp // G), f32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
+            compiler_params=compiler_params,
         )(*args)
-        return tuple(_unilv(o) for o in outs)
+        outs = tuple(_unilv(o) for o in outs)
+        return outs if alm else outs + (None,)
 
     caps = (straggler_cap if isinstance(straggler_cap, tuple)
             else ((straggler_cap,) if straggler_cap else ()))
@@ -1148,8 +1226,9 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     assert all(a < b for a, b in zip(caps, caps[1:])), \
         "straggler_cap phases must be strictly increasing"
     schedule = caps + (cfg.max_iter,)
-    u_out, x_out, stats_out = call_kernel(
-        uinit, x0_in, rx, ry, ryaw, ox, oy, oyaw, None, schedule[0], 0)
+    u_out, x_out, stats_out, alm_out = call_kernel(
+        uinit, x0_in, rx, ry, ryaw, ox, oy, oyaw, None, schedule[0], 0,
+        alm_in)
     if len(schedule) > 1:
         # order[j] = original column of current column j (composed perms)
         order = jnp.arange(Bp)
@@ -1159,13 +1238,16 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
             perm = jnp.argsort(done)  # stable: stragglers first, order kept
             order = order[perm]
             ins = [a[:, perm] for a in ins]
-            u_out, x_out, stats_out = call_kernel(
+            u_out, x_out, stats_out, alm_out = call_kernel(
                 u_out[:, perm], *ins, stats_out[:, perm],
-                schedule[i], schedule[i - 1])
+                schedule[i], schedule[i - 1],
+                alm_out[:, perm] if alm else None)
         inv = jnp.argsort(order)
         u_out = u_out[:, inv]
         x_out = x_out[:, inv]
         stats_out = stats_out[:, inv]
+        if alm:
+            alm_out = alm_out[:, inv]
 
     u = jnp.stack([u_out[0:N, :B], u_out[NH:NH + N, :B]], axis=-1)
     u = jnp.moveaxis(u, 1, 0)  # (B, N, 2)
@@ -1181,4 +1263,15 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         final_cost=stats_out[4, :B],
         final_lamb=stats_out[5, :B],
     )
-    return u, xs, stats
+    if not return_alm:
+        return u, xs, stats
+    # unpack the final duals into the (B, N, C0) carry layout of
+    # types.CILQRCarry (C0 = 8 + 2*num_obstacles; the fake-obstacle
+    # columns of an obstacle-free config are dropped)
+    C0 = 8 + 2 * cfg.num_obstacles
+    slab_f = alm_out[:C_k * NH].reshape(C_k, NH, Bp)
+    mu_f = jnp.concatenate(
+        [slab_f[:4, 0:N], slab_f[4:C0, 1:N + 1]], axis=0)  # (C0, N, Bp)
+    mu_f = jnp.transpose(mu_f, (2, 1, 0))[:B]  # (B, N, C0)
+    rho_f = alm_out[C_k * NH, :B]
+    return u, xs, stats, (mu_f, rho_f)

@@ -4,7 +4,7 @@ Reference loop: src/motion_planning.cpp:180-270 -- each tick solves CILQR on
 the obstacle-prediction window starting at that tick and applies the second
 planned state (``new_x.row(1)``, :197) as the next ego state.
 
-Two drivers:
+Four drivers:
 - :func:`run_mpc` -- host loop, one jitted solve per tick. Flexible
   (visualization hooks, per-tick logging); used by the parity suite and the
   demo app.
@@ -13,10 +13,15 @@ Two drivers:
   No host round-trip per tick, so "solves/sec" benchmarks are honest and
   episodes batch under ``vmap`` (SURVEY.md section 7 "Warm start & MPC
   statefulness").
+- :func:`run_mpc_kernel` -- host loop over the fused Pallas kernel
+  (batched scenarios, warm start + ALM duals carried host-side).
+- :func:`run_mpc_kernel_scan` -- whole episode on the fused kernel in one
+  compiled program (scan over ticks, kernel inside); the throughput path.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import numpy as np
@@ -93,20 +98,28 @@ def run_mpc_scan(cfg: CILQRConfig, w: CILQRWeights, x0, ref_line, ref_velo,
 def run_mpc_kernel(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
                    ref_velo_b, obs_full_b, road_borders_b, ticks: int,
                    window: int = 512, interpret: bool = False,
-                   straggler_cap: int = 0):
+                   straggler_cap: int = 0, proj_rows_per_step: int = 0,
+                   groups: int = 1):
     """Batched receding-horizon episodes on the fused Pallas kernel.
 
     x0_b (B, 4); ref_line_b (B, P, 4); obs_full_b (B, M, T, 3) with
     T >= ticks + N + 1; warm start (the reference's shifted-previous-u,
-    src/cilqr_solver.cpp:163-180) is applied when cfg.use_last_solution.
+    src/cilqr_solver.cpp:163-180) is applied when cfg.use_last_solution,
+    and in ALM mode the dual state (mu, rho) persists across ticks exactly
+    like the reference's members (:88-102), so ALM + use_last_solution
+    (the reference's warm-start scenario with its alm penalty family,
+    config/scenario_three_straight.yaml:14,24) runs end-to-end on the
+    kernel.
 
     Returns (ego (ticks+1, B, 4), u_hist (ticks, B, N, 2), stats pytree
     with leading ticks axis).
     """
     from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
 
+    alm = cfg.solve_type == "alm"
     ego = jnp.asarray(x0_b, jnp.float32)
     u_prev = None
+    alm_mu = alm_rho = None
     egos, us, stats_hist = [ego], [], []
     for t in range(ticks):
         scenario = Scenario(
@@ -118,9 +131,21 @@ def run_mpc_kernel(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
         u_init = None
         if cfg.use_last_solution and u_prev is not None:
             u_init = jnp.concatenate([u_prev[:, 1:], u_prev[:, -1:]], axis=1)
-        u, x, st = cilqr_solve_pallas(cfg, w, ego, scenario, window=window,
-                                      interpret=interpret, u_init=u_init,
-                                      straggler_cap=straggler_cap)
+        if alm:
+            # duals persist across ticks only under use_last_solution
+            # (reference reset policy, src/cilqr_solver.cpp:88-93)
+            mu_in = alm_mu if cfg.use_last_solution else None
+            rho_in = alm_rho if cfg.use_last_solution else None
+            u, x, st, (alm_mu, alm_rho) = cilqr_solve_pallas(
+                cfg, w, ego, scenario, window=window, interpret=interpret,
+                u_init=u_init, straggler_cap=straggler_cap,
+                proj_rows_per_step=proj_rows_per_step, groups=groups,
+                alm_mu0=mu_in, alm_rho0=rho_in, return_alm=True)
+        else:
+            u, x, st = cilqr_solve_pallas(
+                cfg, w, ego, scenario, window=window, interpret=interpret,
+                u_init=u_init, straggler_cap=straggler_cap,
+                proj_rows_per_step=proj_rows_per_step, groups=groups)
         ego = x[:, 1]
         u_prev = u
         egos.append(ego)
@@ -128,3 +153,71 @@ def run_mpc_kernel(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
         stats_hist.append(st)
     stats = jax.tree.map(lambda *xs: jnp.stack(xs), *stats_hist)
     return jnp.stack(egos), jnp.stack(us), stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "ticks", "window", "interpret", "straggler_cap",
+                     "proj_rows_per_step", "groups"),
+)
+def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
+                        ref_velo_b, obs_full_b, road_borders_b, ticks: int,
+                        window: int = 512, interpret: bool = False,
+                        straggler_cap: int = 0, proj_rows_per_step: int = 0,
+                        groups: int = 1):
+    """Whole-episode batched MPC with the fused kernel in ONE compiled
+    program: a ``lax.scan`` over ticks whose body is the Pallas solve.
+
+    The host loop of :func:`run_mpc_kernel` pays a dispatch round trip and
+    an obstacle-window regather per tick (the reference's per-tick loop,
+    src/motion_planning.cpp:180-270, pays the same in wall clock); here the
+    obstacle window advance (``lax.dynamic_slice`` along the prediction
+    axis), the shifted-previous-u warm start (src/cilqr_solver.cpp:163-180)
+    and the ALM dual carry (:88-102) all live in the scan carry, so an
+    episode is a single device program -- same results as the host-loop
+    driver, tick for tick (tests/test_pallas_kernel.py).
+
+    Args as :func:`run_mpc_kernel`. Returns (ego (ticks+1, B, 4),
+    u_hist (ticks, B, N, 2), stats pytree with leading ticks axis).
+    """
+    from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
+
+    alm = cfg.solve_type == "alm"
+    carry_duals = alm and cfg.use_last_solution
+    x0_b = jnp.asarray(x0_b, jnp.float32)
+    B, N = x0_b.shape[0], cfg.N
+    C0 = 8 + 2 * cfg.num_obstacles
+
+    def tick_step(carry, t):
+        ego, u_prev, mu, rho = carry
+        scenario = Scenario(
+            ref_line=ref_line_b,
+            ref_velo=ref_velo_b,
+            obs_preds=lax.dynamic_slice_in_dim(obs_full_b, t, N + 1, axis=2),
+            road_borders=road_borders_b,
+        )
+        # shifted warm start; at t=0 u_prev is zeros and shift(0) == 0 ==
+        # the cold init, so no first-tick branch is needed
+        u_init = (jnp.concatenate([u_prev[:, 1:], u_prev[:, -1:]], axis=1)
+                  if cfg.use_last_solution else None)
+        if alm:
+            u, x, st, (mu, rho) = cilqr_solve_pallas(
+                cfg, w, ego, scenario, window=window, interpret=interpret,
+                u_init=u_init, straggler_cap=straggler_cap,
+                proj_rows_per_step=proj_rows_per_step, groups=groups,
+                alm_mu0=mu if carry_duals else None,
+                alm_rho0=rho if carry_duals else None, return_alm=True)
+        else:
+            u, x, st = cilqr_solve_pallas(
+                cfg, w, ego, scenario, window=window, interpret=interpret,
+                u_init=u_init, straggler_cap=straggler_cap,
+                proj_rows_per_step=proj_rows_per_step, groups=groups)
+        new_ego = x[:, 1]
+        return (new_ego, u, mu, rho), (new_ego, u, st)
+
+    mu0 = jnp.zeros((B, N, C0), jnp.float32)
+    rho0 = jnp.broadcast_to(jnp.asarray(w.alm_rho_init, jnp.float32), (B,))
+    carry0 = (x0_b, jnp.zeros((B, N, 2), jnp.float32), mu0, rho0)
+    _, (egos, us, stats) = lax.scan(tick_step, carry0, jnp.arange(ticks))
+    ego_traj = jnp.concatenate([x0_b[None], egos], axis=0)
+    return ego_traj, us, stats

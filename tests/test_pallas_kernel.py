@@ -116,11 +116,54 @@ def test_kernel_alm_mode_matches_xla(small_problem):
     np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_r), atol=1e-4)
 
 
-def test_kernel_rejects_alm_with_warm_start(small_problem):
+def test_kernel_alm_warm_start_matches_xla(small_problem):
+    """ALM + use_last_solution on the kernel: the dual state (mu, rho)
+    rides the ALM I/O slab across solves exactly like the reference
+    persists it between ticks (src/cilqr_solver.cpp:88-102)."""
     cfg, w, x0_b, scen_b = small_problem
-    cfg_bad = dataclasses.replace(cfg, solve_type="alm", use_last_solution=True)
-    with pytest.raises(NotImplementedError):
-        cilqr_solve_pallas(cfg_bad, w, x0_b, scen_b, interpret=True)
+    cfg_ws = dataclasses.replace(cfg, solve_type="alm",
+                                 use_last_solution=True)
+    # first (cold) solve, capturing the final duals
+    u1, _, _, (mu1, rho1) = cilqr_solve_pallas(
+        cfg_ws, w, x0_b, scen_b, window=256, interpret=True,
+        return_alm=True)
+    shifted = jnp.concatenate([u1[:, 1:], u1[:, -1:]], axis=1)
+    u2, x2, st2 = cilqr_solve_pallas(
+        cfg_ws, w, x0_b, scen_b, window=256, interpret=True,
+        u_init=shifted, alm_mu0=mu1, alm_rho0=rho1)
+    # XLA path with the equivalent carry
+    from ilqr_tpu.types import CILQRCarry
+    f = jax.jit(jax.vmap(solve, in_axes=(None, None, 0, 0, 0)),
+                static_argnums=0)
+    B = x0_b.shape[0]
+    carry = CILQRCarry(
+        last_u=u1,
+        is_first=jnp.zeros((B,), bool),
+        alm_rho=jnp.asarray(rho1, jnp.float32),
+        alm_mu=jnp.asarray(mu1, jnp.float32),
+    )
+    u_r, x_r, st_r, _ = f(cfg_ws, w, x0_b, scen_b, carry)
+    np.testing.assert_array_equal(np.asarray(st2.iters), np.asarray(st_r.iters))
+    np.testing.assert_array_equal(np.asarray(st2.status),
+                                  np.asarray(st_r.status))
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x_r), atol=1e-4)
+
+
+def test_kernel_alm_carry_matches_xla_carry(small_problem):
+    """The duals the kernel returns equal the XLA solve's carry."""
+    cfg, w, x0_b, scen_b = small_problem
+    cfg_alm = dataclasses.replace(cfg, solve_type="alm")
+    _, _, _, (mu_k, rho_k) = cilqr_solve_pallas(
+        cfg_alm, w, x0_b, scen_b, window=256, interpret=True,
+        return_alm=True)
+    f = jax.jit(jax.vmap(solve, in_axes=(None, None, 0, 0, None)),
+                static_argnums=0)
+    _, _, _, carry = f(cfg_alm, w, x0_b, scen_b, None)
+    np.testing.assert_allclose(np.asarray(rho_k), np.asarray(carry.alm_rho),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mu_k), np.asarray(carry.alm_mu),
+                               atol=1e-5)
 
 
 def test_kernel_warm_start_matches_xla(small_problem):
@@ -170,6 +213,106 @@ def test_kernel_mpc_driver(small_problem):
     assert np.all(np.asarray(ego[-1, :, 0]) > np.asarray(ego[0, :, 0]))
 
 
+def test_kernel_mpc_alm_warm_start_matches_scan():
+    """ALM + use_last_solution MPC (scenario_three_straight's warm-start
+    config with the ALM penalty family the reference gates behind the same
+    yaml, /root/reference/config/scenario_three_straight.yaml:14,24)
+    end-to-end on the kernel driver vs the XLA whole-episode scan: same
+    per-tick iteration counts and trajectories."""
+    from ilqr_tpu.sim.mpc import run_mpc_kernel, run_mpc_scan
+
+    gc = GlobalConfig.from_file(
+        os.path.join(CONFIG_DIR, "scenario_three_straight.yaml"))
+    st = build_scenario_setup(gc)
+    cfg = dataclasses.replace(CILQRConfig.from_global_config(gc, max_iter=6),
+                              N=6, solve_type="alm")
+    assert cfg.use_last_solution
+    w = CILQRWeights.from_global_config(gc, dtype=jnp.float32)
+    scenario = st.device_scenario(tick=0, dtype=jnp.float32)
+    B, ticks = 2, 3
+    x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, B, seed=3),
+                       jnp.float32)
+    obs_full = jnp.asarray(st.obs_preds_array(), jnp.float32)
+    scen_b = jax.tree.map(lambda a: jnp.stack([a] * B),
+                          scenario)
+    obs_full_b = jnp.stack([obs_full] * B)
+    ego_k, us_k, st_k = run_mpc_kernel(
+        cfg, w, x0_b, scen_b.ref_line, scen_b.ref_velo, obs_full_b,
+        scen_b.road_borders, ticks=ticks, window=256, interpret=True)
+    scan_b = jax.vmap(
+        lambda x0, rl, rv, ob, rb: run_mpc_scan(cfg, w, x0, rl, rv, ob, rb,
+                                                ticks),
+        in_axes=(0, 0, 0, 0, 0))
+    ego_r, us_r, st_r = scan_b(x0_b, scen_b.ref_line, scen_b.ref_velo,
+                               obs_full_b, scen_b.road_borders)
+    # scan returns (B, ticks, ...); kernel driver (ticks, B, ...)
+    np.testing.assert_array_equal(np.asarray(st_k.iters),
+                                  np.asarray(st_r.iters).T)
+    np.testing.assert_allclose(np.asarray(ego_k),
+                               np.moveaxis(np.asarray(ego_r), 0, 1),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(us_k),
+                               np.moveaxis(np.asarray(us_r), 0, 1),
+                               atol=1e-4)
+
+
+def test_kernel_episode_scan_matches_host_loop(small_problem):
+    """Whole-episode-in-one-program driver (lax.scan over ticks with the
+    kernel inside) == the host-loop kernel driver, tick for tick."""
+    from ilqr_tpu.sim.mpc import run_mpc_kernel, run_mpc_kernel_scan
+
+    cfg, w, x0_b, scen_b = small_problem
+    B = x0_b.shape[0]
+    ticks = 3
+    obs_full = jnp.concatenate(
+        [scen_b.obs_preds,
+         jnp.broadcast_to(scen_b.obs_preds[:, :, -1:],
+                          (B, scen_b.obs_preds.shape[1], ticks, 3))], axis=2)
+    ego_h, us_h, st_h = run_mpc_kernel(
+        cfg, w, x0_b, scen_b.ref_line, scen_b.ref_velo, obs_full,
+        scen_b.road_borders, ticks=ticks, window=256, interpret=True)
+    ego_s, us_s, st_s = run_mpc_kernel_scan(
+        cfg, w, x0_b, scen_b.ref_line, scen_b.ref_velo, obs_full,
+        scen_b.road_borders, ticks=ticks, window=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ego_h), np.asarray(ego_s))
+    np.testing.assert_array_equal(np.asarray(us_h), np.asarray(us_s))
+    np.testing.assert_array_equal(np.asarray(st_h.iters),
+                                  np.asarray(st_s.iters))
+    np.testing.assert_array_equal(np.asarray(st_h.status),
+                                  np.asarray(st_s.status))
+
+
+def test_kernel_episode_scan_alm_warm_start():
+    """Scan driver under ALM + use_last_solution: duals and warm start
+    ride the scan carry; must equal the host loop."""
+    from ilqr_tpu.sim.mpc import run_mpc_kernel, run_mpc_kernel_scan
+
+    gc = GlobalConfig.from_file(
+        os.path.join(CONFIG_DIR, "scenario_three_straight.yaml"))
+    st = build_scenario_setup(gc)
+    cfg = dataclasses.replace(CILQRConfig.from_global_config(gc, max_iter=6),
+                              N=6, solve_type="alm")
+    assert cfg.use_last_solution
+    w = CILQRWeights.from_global_config(gc, dtype=jnp.float32)
+    scenario = st.device_scenario(tick=0, dtype=jnp.float32)
+    B, ticks = 2, 3
+    x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, B, seed=3),
+                       jnp.float32)
+    scen_b = jax.tree.map(lambda a: jnp.stack([a] * B), scenario)
+    obs_full_b = jnp.stack([jnp.asarray(st.obs_preds_array(),
+                                        jnp.float32)] * B)
+    ego_h, us_h, st_h = run_mpc_kernel(
+        cfg, w, x0_b, scen_b.ref_line, scen_b.ref_velo, obs_full_b,
+        scen_b.road_borders, ticks=ticks, window=256, interpret=True)
+    ego_s, us_s, st_s = run_mpc_kernel_scan(
+        cfg, w, x0_b, scen_b.ref_line, scen_b.ref_velo, obs_full_b,
+        scen_b.road_borders, ticks=ticks, window=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ego_h), np.asarray(ego_s))
+    np.testing.assert_array_equal(np.asarray(us_h), np.asarray(us_s))
+    np.testing.assert_array_equal(np.asarray(st_h.iters),
+                                  np.asarray(st_s.iters))
+
+
 def test_kernel_pads_batch_to_lane_multiple(small_problem):
     cfg, w, x0_b, scen_b = small_problem
     # B=8 is far from a multiple of 128: outputs must still be (8, ...)
@@ -200,12 +343,24 @@ def test_kernel_straggler_compaction_bitwise_exact(small_problem):
                                   np.asarray(st2.final_lamb))
 
 
-def test_kernel_straggler_compaction_rejects_alm(small_problem):
+def test_kernel_straggler_compaction_alm_bitwise_exact(small_problem):
+    """ALM + straggler compaction: the dual slabs ride the ALM I/O slab
+    through the sorted resume, so capped + resume == single pass bitwise."""
     cfg, w, x0_b, scen_b = small_problem
     cfg_alm = dataclasses.replace(cfg, solve_type="alm")
-    with pytest.raises(NotImplementedError):
-        cilqr_solve_pallas(cfg_alm, w, x0_b, scen_b, window=256,
-                           interpret=True, straggler_cap=3)
+    u1, x1, st1, (mu1, rho1) = cilqr_solve_pallas(
+        cfg_alm, w, x0_b, scen_b, window=256, interpret=True,
+        return_alm=True)
+    u2, x2, st2, (mu2, rho2) = cilqr_solve_pallas(
+        cfg_alm, w, x0_b, scen_b, window=256, interpret=True,
+        straggler_cap=3, return_alm=True)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(st1.iters), np.asarray(st2.iters))
+    np.testing.assert_array_equal(np.asarray(st1.status),
+                                  np.asarray(st2.status))
+    np.testing.assert_array_equal(np.asarray(mu1), np.asarray(mu2))
+    np.testing.assert_array_equal(np.asarray(rho1), np.asarray(rho2))
 
 
 def test_kernel_straggler_multiphase_bitwise_exact(small_problem):

@@ -86,20 +86,30 @@ def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
     # line_search_width 1 vs 4 are bit-identical on CPU in f32 and f64 but
     # differ by 50%+ mean iters on TPU). Exact parity is established in
     # float64 vs tests/oracle_cilqr.py; here we require the *solutions* to
-    # agree (cost, positions) and the convergence statistics to be close.
-    cost_rel = float(np.median(np.abs(cost_k - cost_r) / np.maximum(np.abs(cost_r), 1e-3)))
-    pos_med = float(np.median(np.abs(x_k - x_r)))
-    ok = (
-        cost_rel < 1e-3
-        and pos_med < 1e-2
-        and abs(float(np.mean(conv_k)) - float(np.mean(conv_r))) <= 0.10
-    )
+    # agree and the convergence statistics to be close. Bounds are
+    # percentile-based (p90, not median, so a wide error tail fails) plus a
+    # convergence-fraction band: at the default batch=1024 the binomial sd
+    # of a conv fraction near 0.7 is ~0.014, so a 0.03 band is ~2 sigma --
+    # tight enough to flag a systematic regression, wide enough not to
+    # flag sampling noise. (A 0.02 band at batch=256 would be <1 sigma.)
+    # Solution agreement is measured on rows converged under BOTH
+    # implementations: non-converged oscillator rows legitimately follow
+    # different iteration paths and return different (rejected-step)
+    # trajectories, so including them would measure path divergence, not
+    # solution correctness.
+    both = conv_k & conv_r
+    rel = np.abs(cost_k - cost_r) / np.maximum(np.abs(cost_r), 1e-3)
+    cost_p90 = float(np.percentile(rel[both], 90)) if both.any() else np.inf
+    pos_p90 = (float(np.percentile(np.abs(x_k[both] - x_r[both]), 90))
+               if both.any() else np.inf)
+    conv_gap = abs(float(np.mean(conv_k)) - float(np.mean(conv_r)))
+    ok = cost_p90 < 1e-3 and pos_p90 < 1e-2 and conv_gap <= 0.03
     print(
         f"{'PASS' if ok else 'FAIL'} {name}: iters_match={iters_match:.3f} "
         f"status_match={status_match:.3f} conv_k={np.mean(conv_k):.3f} "
         f"conv_r={np.mean(conv_r):.3f} mean_iters k/r="
-        f"{np.mean(it_k):.2f}/{np.mean(it_r):.2f} cost_relerr={cost_rel:.2e} "
-        f"pos_med_absdiff={pos_med:.2e} t_kernel={t_kernel:.1f}s t_xla={t_xla:.1f}s",
+        f"{np.mean(it_k):.2f}/{np.mean(it_r):.2f} cost_relerr_p90={cost_p90:.2e} "
+        f"pos_absdiff_p90={pos_p90:.2e} t_kernel={t_kernel:.1f}s t_xla={t_xla:.1f}s",
         flush=True,
     )
     return ok
@@ -107,7 +117,7 @@ def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--window", type=int, default=384)
     ap.add_argument("--scenario", default=None)
     ap.add_argument("--proj-rows", type=int, default=0,
