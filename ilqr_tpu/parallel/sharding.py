@@ -78,7 +78,8 @@ def sharded_kernel_solve_fn(mesh: Mesh, cfg: CILQRConfig, *,
                             groups: int = 1,
                             interpret: bool = False,
                             axis_name: str = DATA_AXIS,
-                            with_stats_psum: bool = True):
+                            with_stats_psum: bool = True,
+                            with_alm_io: bool = False):
     """Mesh-sharded batched solve on the *fused Pallas kernel* path.
 
     Same contract as :func:`sharded_solve_fn` --
@@ -93,8 +94,39 @@ def sharded_kernel_solve_fn(mesh: Mesh, cfg: CILQRConfig, *,
     psum'd. Kernel knobs (``window``, ``straggler_cap``,
     ``proj_rows_per_step``, ``groups``, ``interpret``) pass through
     unchanged; per-shard semantics are exactly the single-device kernel's.
+
+    ``with_alm_io`` (ALM configs): the returned fn takes two extra
+    row-partitioned args ``(alm_mu0 (B, N, C), alm_rho0 (B,))`` and returns
+    a fifth element ``(alm_mu, alm_rho)`` -- the warm-start dual carry for
+    MPC sweeps, shard-local like the solves themselves.
     """
     from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
+
+    kw = dict(window=window, interpret=interpret,
+              straggler_cap=straggler_cap,
+              proj_rows_per_step=proj_rows_per_step, groups=groups)
+
+    if with_alm_io:
+        assert cfg.solve_type == "alm", "with_alm_io requires an ALM config"
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name), P(axis_name),
+                      P(axis_name)),
+            out_specs=(P(axis_name), P(axis_name), P(axis_name), P(),
+                       (P(axis_name), P(axis_name))),
+            check_vma=False,
+        )
+        def _sharded_alm(w, x0_b, scen_b, alm_mu0, alm_rho0):
+            u, x, stats, duals = cilqr_solve_pallas(
+                cfg, w, x0_b, scen_b, alm_mu0=alm_mu0, alm_rho0=alm_rho0,
+                return_alm=True, **kw)
+            summary = aggregate_stats(
+                stats, axis_name if with_stats_psum else None)
+            return u, x, stats, summary, duals
+
+        return jax.jit(_sharded_alm)
 
     @partial(
         jax.shard_map,
@@ -104,10 +136,7 @@ def sharded_kernel_solve_fn(mesh: Mesh, cfg: CILQRConfig, *,
         check_vma=False,
     )
     def _sharded(w, x0_b, scen_b):
-        u, x, stats = cilqr_solve_pallas(
-            cfg, w, x0_b, scen_b, window=window, interpret=interpret,
-            straggler_cap=straggler_cap,
-            proj_rows_per_step=proj_rows_per_step, groups=groups)
+        u, x, stats = cilqr_solve_pallas(cfg, w, x0_b, scen_b, **kw)
         summary = aggregate_stats(stats, axis_name if with_stats_psum else None)
         return u, x, stats, summary
 

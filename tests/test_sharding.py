@@ -105,6 +105,45 @@ def test_sharded_kernel_matches_single_device_kernel():
     assert u_sh.addressable_shards[0].data.shape[0] == B // 8
 
 
+def test_sharded_kernel_alm_io_matches_single_device():
+    """ALM dual I/O through the sharded kernel: duals stay row-partitioned
+    and equal the single-device kernel's bitwise."""
+    import dataclasses
+
+    from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
+    from ilqr_tpu.parallel import sharded_kernel_solve_fn
+
+    gc = GlobalConfig.from_file(
+        os.path.join(CONFIG_DIR, "scenario_two_straight.yaml"))
+    st = build_scenario_setup(gc)
+    cfg = dataclasses.replace(CILQRConfig.from_global_config(gc, max_iter=8),
+                              N=6, solve_type="alm")
+    w = CILQRWeights.from_global_config(gc, dtype=jnp.float32)
+    scenario = st.device_scenario(tick=0, horizon=cfg.N, dtype=jnp.float32)
+    B = 16
+    x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, B, seed=0),
+                       jnp.float32)
+    scen_b = jax.tree.map(lambda a: jnp.stack([a] * B), scenario)
+    C0 = 8 + 2 * cfg.num_obstacles
+    mu0 = jnp.zeros((B, cfg.N, C0), jnp.float32)
+    rho0 = jnp.full((B,), float(w.alm_rho_init), jnp.float32)
+
+    mesh = make_mesh(8)
+    fn = sharded_kernel_solve_fn(mesh, cfg, window=64, interpret=True,
+                                 with_alm_io=True)
+    u_sh, x_sh, st_sh, summary, (mu_sh, rho_sh) = fn(
+        replicate(mesh, w), shard_batch(mesh, x0_b),
+        shard_batch(mesh, scen_b), shard_batch(mesh, mu0),
+        shard_batch(mesh, rho0))
+    u_1, x_1, st_1, (mu_1, rho_1) = cilqr_solve_pallas(
+        cfg, w, x0_b, scen_b, window=64, interpret=True,
+        alm_mu0=mu0, alm_rho0=rho0, return_alm=True)
+    np.testing.assert_array_equal(np.asarray(u_sh), np.asarray(u_1))
+    np.testing.assert_array_equal(np.asarray(mu_sh), np.asarray(mu_1))
+    np.testing.assert_array_equal(np.asarray(rho_sh), np.asarray(rho_1))
+    assert len(mu_sh.addressable_shards) == 8
+
+
 def test_output_shardings_stay_row_partitioned(problem):
     cfg, w, x0_b, scen_b = problem
     mesh = make_mesh(8)
