@@ -52,6 +52,10 @@ W_BACK = 64  # window rows behind the ego's initial projection
 #   CILQR_KERNEL_PROBE=noproj  -- skip line-search trial projections
 import os as _os
 _PROBE = _os.environ.get("CILQR_KERNEL_PROBE", "")
+# resume-state debug probe (results are WRONG when set): the resume-variant
+# kernel reports what it READ from the resume slab -- final_cost slot gets
+# lamb0, final_lamb slot gets active0 + 10*status0 + 1000*iters0
+_RESUME_PROBE = _os.environ.get("CILQR_RESUME_PROBE", "") == "1"
 
 # weight vector layout (rows of the (32, 1) SMEM input)
 (_DT, _WB, _WIDTH, _LENGTH, _DSAFE, _VMAX, _VMIN, _AMAX, _AMIN, _STL,
@@ -955,11 +959,27 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
         stats_out[G:2 * G, :] = statusf
         stats_out[2 * G:3 * G, :] = convf
         stats_out[3 * G:4 * G, :] = ovff
-        stats_out[4 * G:5 * G, :] = final_J
-        stats_out[5 * G:6 * G, :] = lambf
-        stats_out[6 * G:7 * G, :] = (probef if _PROBE
-                                     else jnp.zeros((G, LANES), f32))
-        stats_out[7 * G:8 * G, :] = jnp.zeros((G, LANES), f32)
+        if _RESUME_PROBE and resume:
+            stats_out[4 * G:5 * G, :] = lamb0
+            stats_out[5 * G:6 * G, :] = (active0 + 10.0 * status0
+                                         + 1000.0 * iters0)
+            # echo the raw resume block through unused u_out rows (steps
+            # 8..15 of the accel slab are pads at N <= 8)
+            u_out[8 * G:16 * G, :] = res
+        else:
+            stats_out[4 * G:5 * G, :] = final_J
+            stats_out[5 * G:6 * G, :] = lambf
+        if _RESUME_PROBE:
+            # operand-integrity probe: per-column checksum of the window
+            # slab + an SMEM weights echo (see _RESUME_PROBE)
+            stats_out[6 * G:7 * G, :] = _hsum(rx) + _hsum(ry)
+            stats_out[7 * G:8 * G, :] = (lane0 + w(_CONV)
+                                         + 1000.0 * w(_WPOS)
+                                         + x0[0] + 100.0 * x0[2])
+        else:
+            stats_out[6 * G:7 * G, :] = (probef if _PROBE
+                                         else jnp.zeros((G, LANES), f32))
+            stats_out[7 * G:8 * G, :] = jnp.zeros((G, LANES), f32)
         if use_alm:
             for i in range(C):
                 alm_out[i * NHG:(i + 1) * NHG, :] = musf[i]
@@ -1223,6 +1243,24 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     caps = (straggler_cap if isinstance(straggler_cap, tuple)
             else ((straggler_cap,) if straggler_cap else ()))
     caps = tuple(c for c in caps if 0 < c < cfg.max_iter)
+    if caps and G > 1 and not interpret:
+        # KNOWN MISCOMPILE (v5e, jax 0.9/Mosaic): in a multi-pallas_call
+        # program (capped phase + sorted resume) at G>1, the phase-1 call
+        # returns catastrophically wrong results even though (a) the same
+        # MLIR standalone is correct, (b) in-kernel checksums show every
+        # operand arrives intact, (c) interpret mode is bitwise-exact, and
+        # (d) minimal echo/carry/zero-trip/gather-dataflow repros all
+        # pass. optimization_barrier on operands does not help, implicating
+        # XLA buffer assignment around the inter-phase gathers. See
+        # docs/PERFORMANCE.md "groups=8" for the full investigation and
+        # tools/results/g8_resume_tpu.log for the failure signature.
+        # groups>1 also measures ~2.3x slower than groups=1 uncapped, so
+        # the combination has no use case; refuse rather than return
+        # silently wrong results.
+        raise NotImplementedError(
+            "groups>1 + straggler_cap miscompiles on TPU (XLA multi-call "
+            "buffer bug, docs/PERFORMANCE.md); use groups=1 (default, "
+            "faster) or straggler_cap=0")
     assert all(a < b for a, b in zip(caps, caps[1:])), \
         "straggler_cap phases must be strictly increasing"
     schedule = caps + (cfg.max_iter,)
@@ -1263,6 +1301,10 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         final_cost=stats_out[4, :B],
         final_lamb=stats_out[5, :B],
     )
+    if _RESUME_PROBE:
+        # raw slabs: u_out rows 8..16 echo the resume block (resume
+        # variant); stats_out rows 6..8 carry operand checksums
+        return u, xs, stats, (u_out, stats_out)
     if not return_alm:
         return u, xs, stats
     # unpack the final duals into the (B, N, C0) carry layout of
