@@ -11,6 +11,11 @@ so vs_baseline is measured against the per-chip share of the north star:
 Workload: scenario_two_straight (3 obstacles, N=30, nx=4, nu=2), a batch of
 perturbed initial states, full solver semantics (max_iter=100, line search,
 status machine) in float32.
+
+BENCH_MODE=mpc switches to batched receding-horizon episodes (the
+reference's own workload shape) via run_mpc_kernel_scan: batch*ticks
+warm-start solves per run, metric "cilqr_mpc_solves_per_sec" (99.5k/s
+measured on one v5e chip at batch 8192 -- docs/PERFORMANCE.md).
 """
 
 import json
@@ -22,6 +27,83 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
+    """BENCH_MODE=mpc: batched receding-horizon episodes in one compiled
+    program (run_mpc_kernel_scan) -- the reference's own workload shape
+    (120-150 MPC solves per scenario, src/motion_planning.cpp:180-270).
+    Counts batch*ticks full 30-step solves per episode run. Measured at
+    99.5k solves/s on one v5e chip (docs/PERFORMANCE.md "MPC episodes")."""
+    from ilqr_tpu.config import GlobalConfig
+    from ilqr_tpu.sim.mpc import run_mpc_kernel_scan
+    from ilqr_tpu.sim.scenario import build_scenario_setup, perturbed_initial_states
+    from ilqr_tpu.types import CILQRConfig, CILQRWeights
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    gc = GlobalConfig.from_file(os.path.join(here, "configs", "scenario_two_straight.yaml"))
+    st = build_scenario_setup(gc)
+    cfg = CILQRConfig.from_global_config(gc)
+    w = CILQRWeights.from_global_config(gc, dtype=dtype)
+    scenario = st.device_scenario(tick=0, dtype=dtype)
+    B = batch
+    proj_rows = int(np.ceil(1.5 * float(gc["vehicle/velo_max"])
+                            * float(gc["delta_t"]) / 0.1))
+    cap_s = os.environ.get("BENCH_CAP", "24")
+    cap = tuple(int(c) for c in cap_s.split(",") if c) if "," in cap_s \
+        else int(cap_s)
+    window = int(os.environ.get("BENCH_WINDOW", "384"))
+    interpret = jax.default_backend() == "cpu"  # smoke-test path only
+    x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, B, seed=0), dtype)
+    obs_full = jnp.asarray(st.obs_preds_array(), dtype)
+    need = ticks + cfg.N + 1
+    if obs_full.shape[1] < need:
+        pad = jnp.broadcast_to(obs_full[:, -1:],
+                               (obs_full.shape[0], need - obs_full.shape[1], 3))
+        obs_full = jnp.concatenate([obs_full, pad], axis=1)
+    ref_b = jnp.stack([scenario.ref_line] * B)
+    rv_b = jnp.stack([jnp.asarray(scenario.ref_velo, dtype)] * B)
+    rb_b = jnp.stack([scenario.road_borders] * B)
+    obs_b = jnp.stack([obs_full] * B)
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+
+        from ilqr_tpu.parallel import make_mesh, shard_batch
+        from ilqr_tpu.parallel.sharding import replicate
+
+        mesh = make_mesh(n_dev)
+        episode = partial(run_mpc_kernel_scan, cfg, ticks=ticks,
+                          window=window, straggler_cap=cap,
+                          proj_rows_per_step=proj_rows, interpret=interpret)
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
+                           P("data")),
+                 out_specs=(P(None, "data"), P(None, "data"), P(None, "data")),
+                 check_vma=False)
+        def _ep(w_, x0, rl, rv, ob, rb):
+            ego, us, stats = episode(w_, x0, rl, rv, ob, rb)
+            return ego, us, stats.iters
+
+        w_d = replicate(mesh, w)
+        args_d = tuple(shard_batch(mesh, a)
+                       for a in (x0_b, ref_b, rv_b, obs_b, rb_b))
+
+        def run():
+            ego, us, iters = _ep(w_d, *args_d)
+            return iters, jnp.mean(ego[-1, :, 0])
+    else:
+        def run():
+            ego, us, stats = run_mpc_kernel_scan(
+                cfg, w, x0_b, ref_b, rv_b, obs_b, rb_b, ticks=ticks,
+                window=window, straggler_cap=cap,
+                proj_rows_per_step=proj_rows, interpret=interpret)
+            return stats.iters, jnp.mean(ego[-1, :, 0])
+
+    return run, n_dev
 
 
 def build(batch: int, dtype=jnp.float32):
@@ -115,7 +197,16 @@ def build(batch: int, dtype=jnp.float32):
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "8192"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    run, n_dev = build(batch)
+    mode = os.environ.get("BENCH_MODE", "cold")  # "cold" | "mpc"
+    ticks = int(os.environ.get("BENCH_TICKS", "10"))
+    if mode == "mpc":
+        run, n_dev = build_mpc(batch, ticks)
+        solves_per_run = batch * ticks
+        metric = "cilqr_mpc_solves_per_sec"
+    else:
+        run, n_dev = build(batch)
+        solves_per_run = batch
+        metric = "cilqr_solves_per_sec"
 
     # warmup / compile; NOTE: on the axon remote backend block_until_ready
     # does not actually synchronize, so every timed step fetches a (small)
@@ -130,19 +221,21 @@ def main():
         np.asarray(out[1])  # scalar converged-fraction: minimal fetch
         samples.append(time.perf_counter() - t0)
     dt = float(np.median(samples))
-    solves_per_sec = batch / dt
+    solves_per_sec = solves_per_run / dt
 
     baseline_per_chip = 1e5 / 8.0  # north-star v5e-8 target, per chip
     result = {
-        "metric": "cilqr_solves_per_sec",
+        "metric": metric,
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / (baseline_per_chip * n_dev), 4),
     }
     print(json.dumps(result))
+    aux = ("final_ego_x_mean" if mode == "mpc" else "converged")
     print(
-        f"# batch={batch} devices={n_dev} median_step={dt*1e3:.1f}ms "
-        f"mean_iters={float(jnp.mean(out[0])):.1f} converged={float(out[1]):.2f}",
+        f"# mode={mode} batch={batch} devices={n_dev} "
+        f"median_step={dt*1e3:.1f}ms "
+        f"mean_iters={float(jnp.mean(out[0])):.1f} {aux}={float(out[1]):.2f}",
         file=sys.stderr,
     )
 

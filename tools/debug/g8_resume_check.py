@@ -23,7 +23,8 @@ scenario = st.device_scenario(tick=0, horizon=N, dtype=jnp.float32)
 x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, B, seed=0), jnp.float32)
 scen_b = jax.tree.map(lambda a: jnp.stack([a] * B), scenario)
 
-kw = dict(window=W, interpret=INTERP, groups=8, proj_rows_per_step=PROJ)
+G = int(os.environ.get("CHK_G", "8"))
+kw = dict(window=W, interpret=INTERP, groups=G, proj_rows_per_step=PROJ)
 u1, x1, s1 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, straggler_cap=0, **kw)
 u1, s1c, s1i = np.asarray(u1), np.asarray(s1.converged), np.asarray(s1.iters)
 u2, x2, s2 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, straggler_cap=CAP, **kw)
