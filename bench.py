@@ -130,8 +130,10 @@ def build(batch: int, dtype=jnp.float32):
         window = int(os.environ.get("BENCH_WINDOW", "384"))
         # straggler compaction: capped pass(es) + sorted exact resume of the
         # unconverged rows (bitwise-identical results; see kernel docstring);
-        # comma-separated caps run a multi-phase schedule
-        cap_s = os.environ.get("BENCH_CAP", "24")
+        # comma-separated caps run a multi-phase schedule. 8,16,32 measured
+        # best at G=1 on v5e: 36.1k solves/s vs 25.1k at the round-1
+        # single cap 24 (tools/results/bench_g1_cap*.log)
+        cap_s = os.environ.get("BENCH_CAP", "8,16,32")
         cap = tuple(int(c) for c in cap_s.split(",") if c) if "," in cap_s \
             else int(cap_s)
         # per-step projection search bound; -1 derives from the yaml's

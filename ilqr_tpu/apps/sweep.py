@@ -33,9 +33,10 @@ def main(argv=None) -> int:
     parser.add_argument("--steps", type=int, default=4,
                         help="number of batched solve steps")
     parser.add_argument("--engine", choices=("kernel", "xla"), default="xla")
-    parser.add_argument("--straggler-cap", type=int, default=16,
-                        help="kernel engine: straggler-compaction phase-1 "
-                        "iteration cap (0 disables; results identical)")
+    parser.add_argument("--straggler-cap", default="8,16,32",
+                        help="kernel engine: straggler-compaction iteration "
+                        "cap or comma-separated multi-phase schedule "
+                        "(0 disables; results identical either way)")
     parser.add_argument("--noise-seed", type=int, default=0)
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--multihost", action="store_true",
@@ -56,6 +57,10 @@ def main(argv=None) -> int:
     from ilqr_tpu.sim.scenario import build_scenario_setup, perturbed_initial_states
     from ilqr_tpu.types import CILQRConfig, CILQRWeights
 
+    cap_s = str(args.straggler_cap)
+    straggler_cap = (tuple(int(c) for c in cap_s.split(",") if c)
+                     if "," in cap_s else int(cap_s))
+
     gc = GlobalConfig.from_file(args.config)
     st = build_scenario_setup(gc)
     cfg = CILQRConfig.from_global_config(gc)
@@ -73,10 +78,10 @@ def main(argv=None) -> int:
         mesh = make_mesh(n_dev)
         if args.engine == "kernel":
             # fused kernel per shard: the perf path scales with the mesh
+            # (ALM composes with compaction since the duals became kernel
+            # I/O -- see cilqr_solve_pallas)
             solve_fn = sharded_kernel_solve_fn(
-                mesh, cfg,
-                straggler_cap=(0 if cfg.solve_type == "alm"
-                               else args.straggler_cap))
+                mesh, cfg, straggler_cap=straggler_cap)
         else:
             solve_fn = sharded_solve_fn(mesh, cfg)
         w_d = replicate(mesh, w)
@@ -109,9 +114,7 @@ def main(argv=None) -> int:
             summary = jax.tree.map(np.asarray, summary)
         elif args.engine == "kernel":
             _, _, stats = cilqr_solve_pallas(
-                cfg, w, x0_b, scen_b,
-                straggler_cap=(0 if cfg.solve_type == "alm"
-                               else args.straggler_cap))
+                cfg, w, x0_b, scen_b, straggler_cap=straggler_cap)
             summary = jax.tree.map(np.asarray, aggregate_stats(stats))
         else:
             _, _, stats, _ = vsolve(cfg, w, x0_b, scen_b, None)
