@@ -44,6 +44,11 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
     gc = GlobalConfig.from_file(os.path.join(here, "configs", "scenario_two_straight.yaml"))
     st = build_scenario_setup(gc)
     cfg = CILQRConfig.from_global_config(gc)
+    if os.environ.get("BENCH_WARM", "0") == "1":
+        # shifted-previous-u warm start between ticks (the reference's
+        # use_last_solution mode, src/cilqr_solver.cpp:163-180)
+        import dataclasses
+        cfg = dataclasses.replace(cfg, use_last_solution=True)
     w = CILQRWeights.from_global_config(gc, dtype=dtype)
     scenario = st.device_scenario(tick=0, dtype=dtype)
     B = batch

@@ -158,13 +158,13 @@ def run_mpc_kernel(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "ticks", "window", "interpret", "straggler_cap",
-                     "proj_rows_per_step", "groups"),
+                     "proj_rows_per_step", "groups", "unroll"),
 )
 def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
                         ref_velo_b, obs_full_b, road_borders_b, ticks: int,
                         window: int = 512, interpret: bool = False,
                         straggler_cap: int = 0, proj_rows_per_step: int = 0,
-                        groups: int = 1):
+                        groups: int = 1, unroll: bool = True):
     """Whole-episode batched MPC with the fused kernel in ONE compiled
     program: a ``lax.scan`` over ticks whose body is the Pallas solve.
 
@@ -218,6 +218,16 @@ def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
     mu0 = jnp.zeros((B, N, C0), jnp.float32)
     rho0 = jnp.broadcast_to(jnp.asarray(w.alm_rho_init, jnp.float32), (B,))
     carry0 = (x0_b, jnp.zeros((B, N, 2), jnp.float32), mu0, rho0)
-    _, (egos, us, stats) = lax.scan(tick_step, carry0, jnp.arange(ticks))
+    # ``unroll``: emit the ticks as straight-line calls instead of a
+    # lax.scan loop. On v5e a pallas_call looped by lax.scan returns wrong
+    # results from the second iteration on (ego advance collapses 0.8 ->
+    # 0.204 m/tick; bitwise-deterministic, interpret-exact -- same XLA
+    # program-shape bug family as docs/PERFORMANCE.md "groups=8 +
+    # straggler compaction"), while the identical calls chained
+    # straight-line are proven bitwise-correct on chip
+    # (tools/results/g1_resume_tpu.log). Still ONE compiled program, no
+    # per-tick dispatch; the Mosaic kernel compiles once either way.
+    _, (egos, us, stats) = lax.scan(tick_step, carry0, jnp.arange(ticks),
+                                    unroll=ticks if unroll else 1)
     ego_traj = jnp.concatenate([x0_b[None], egos], axis=0)
     return ego_traj, us, stats
