@@ -14,8 +14,12 @@ status machine) in float32.
 
 BENCH_MODE=mpc switches to batched receding-horizon episodes (the
 reference's own workload shape) via run_mpc_kernel_scan: batch*ticks
-warm-start solves per run, metric "cilqr_mpc_solves_per_sec" (99.5k/s
-measured on one v5e chip at batch 8192 -- docs/PERFORMANCE.md).
+solves per run, metric "cilqr_mpc_solves_per_sec". Honest numbers (the
+bitwise-verified unrolled driver, docs/PERFORMANCE.md "MPC episodes"):
+29.1k solves/s at batch 8192 on one v5e chip, 29.7k with BENCH_WARM=1.
+Earlier 99.5k/104k figures were artifacts of the lax.scan miscompile
+(docs/PERFORMANCE.md "Second instance of the same bug family") and were
+retracted.
 """
 
 import json
@@ -34,7 +38,8 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
     program (run_mpc_kernel_scan) -- the reference's own workload shape
     (120-150 MPC solves per scenario, src/motion_planning.cpp:180-270).
     Counts batch*ticks full 30-step solves per episode run. Measured at
-    99.5k solves/s on one v5e chip (docs/PERFORMANCE.md "MPC episodes")."""
+    29.1k solves/s on one v5e chip at batch 8192 with the verified
+    unrolled driver (docs/PERFORMANCE.md "MPC episodes")."""
     from ilqr_tpu.config import GlobalConfig
     from ilqr_tpu.sim.mpc import run_mpc_kernel_scan
     from ilqr_tpu.sim.scenario import build_scenario_setup, perturbed_initial_states

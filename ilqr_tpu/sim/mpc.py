@@ -16,7 +16,9 @@ Four drivers:
 - :func:`run_mpc_kernel` -- host loop over the fused Pallas kernel
   (batched scenarios, warm start + ALM duals carried host-side).
 - :func:`run_mpc_kernel_scan` -- whole episode on the fused kernel in one
-  compiled program (scan over ticks, kernel inside); the throughput path.
+  compiled program (straight-line chained ticks); the benchmark path.
+  Verified ~2% faster than the host loop plus independent of per-tick
+  dispatch latency (docs/PERFORMANCE.md "MPC episodes").
 """
 
 from __future__ import annotations
