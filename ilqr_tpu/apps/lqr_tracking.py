@@ -45,18 +45,34 @@ def main(argv=None) -> int:
         matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    from ilqr_tpu.viz.render import (_steering_wheel_sprite,
+                                     plot_tracking_console, plot_wire_car)
+
     cx, cy = np.asarray(course[0]), np.asarray(course[1])
+    wheel = _steering_wheel_sprite()
     frames = range(0, n, 25) if args.animate else [n - 1]
     fig, ax = plt.subplots(figsize=(8, 8))
     for t in frames:
+        # per-tick frame mirroring the reference's animation loop
+        # (scripts/1-lqr-pathtracking.py:291-306): course, trajectory,
+        # wireframe car at the commanded steering, console HUD, fixed view
+        x, y, yaw = states[t + 1, 0], states[t + 1, 1], states[t + 1, 2]
+        acc, steering = controls[t, 0], controls[t, 1]
+        target_ind = int(np.argmin(np.hypot(cx - x, cy - y)))
         ax.cla()
         ax.plot(cx, cy, "-r", label="course")
         ax.plot(states[: t + 2, 0], states[: t + 2, 1], "-b", label="trajectory")
-        ax.plot(states[t + 1, 0], states[t + 1, 1], "ok", markersize=8)
+        plot_wire_car(ax, float(x), float(y), float(yaw), float(steering),
+                      wheelbase=float(p.wheelbase))
+        plot_tracking_console(ax, float(steering), float(acc),
+                              acc_max=float(p.max_acc), wheel_sprite=wheel)
         ax.axis("equal")
         ax.grid(True)
+        ax.set_xlim(-10, 38)
+        ax.set_ylim(-15, 20)
         ax.legend(loc="lower left")
-        ax.set_title(f"speed {states[t + 1, 3] * 3.6:.1f} km/h, tick {t}")
+        ax.set_title(f"speed[km/h]: {states[t + 1, 3] * 3.6:.2f}, "
+                     f"target index: {target_ind}")
         if args.animate and not args.save:
             plt.pause(0.01)
     if args.save:

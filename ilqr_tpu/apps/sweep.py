@@ -32,7 +32,11 @@ def main(argv=None) -> int:
                         help="scenarios per solver step")
     parser.add_argument("--steps", type=int, default=4,
                         help="number of batched solve steps")
-    parser.add_argument("--engine", choices=("kernel", "xla"), default="xla")
+    parser.add_argument("--engine", choices=("kernel", "xla", "auto"),
+                        default="auto",
+                        help="auto = fused Pallas kernel on accelerators "
+                        "(the fast path, ~36k solves/s/chip vs ~409 for "
+                        "xla -- docs/PERFORMANCE.md), xla on CPU")
     parser.add_argument("--straggler-cap", default="8,16,32",
                         help="kernel engine: straggler-compaction iteration "
                         "cap or comma-separated multi-phase schedule "
@@ -60,6 +64,13 @@ def main(argv=None) -> int:
     cap_s = str(args.straggler_cap)
     straggler_cap = (tuple(int(c) for c in cap_s.split(",") if c)
                      if "," in cap_s else int(cap_s))
+
+    if args.engine == "auto":
+        # sweeping is the throughput workload: default to the fused kernel
+        # everywhere it compiles natively (CPU keeps the XLA solver -- the
+        # kernel would run in interpret mode there, which is a test
+        # vehicle, not a performance path)
+        args.engine = "xla" if jax.default_backend() == "cpu" else "kernel"
 
     gc = GlobalConfig.from_file(args.config)
     st = build_scenario_setup(gc)

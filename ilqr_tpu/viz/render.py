@@ -227,6 +227,76 @@ def render_frame(ax, setup, ego_state, planned_x, control, tick: int,
     ax.set_aspect("equal")
 
 
+def plot_wire_car(ax, x: float, y: float, yaw: float, steer: float = 0.0,
+                  color: str = "k", length: float = 4.5, width: float = 2.2,
+                  backtowheel: float = 1.0, wheel_len: float = 0.35,
+                  wheel_width: float = 0.2, tread: float = 0.7,
+                  wheelbase: float = 2.5):
+    """Hand-drawn wireframe car: body outline, four wheel rectangles with
+    the front pair rotated by ``steer``, and a heading arrow (demo-1 car,
+    reference scripts/1-lqr-pathtracking.py:59-105 + plot_arrow :33-56).
+
+    (x, y) is the rear axle; the body spans [-backtowheel,
+    length - backtowheel] along the heading. The steer rotation is applied
+    about the front axle's midpoint (so the wheel's lateral offset swings
+    slightly with it) -- the reference's convention.
+    """
+    import math
+
+    def rot(a):
+        return np.array([[math.cos(a), -math.sin(a)],
+                         [math.sin(a), math.cos(a)]])
+
+    wheel = np.array([[1.0, -1.0, -1.0, 1.0, 1.0],
+                      [-1.0, -1.0, 1.0, 1.0, -1.0]])
+    wheel *= np.array([[wheel_len], [wheel_width]])
+    outline = np.array(
+        [[-backtowheel, length - backtowheel, length - backtowheel,
+          -backtowheel, -backtowheel],
+         [width / 2, width / 2, -width / 2, -width / 2, width / 2]])
+    polys = [outline]
+    for side in (-1.0, 1.0):
+        polys.append(rot(steer) @ (wheel + [[0.0], [side * tread]])
+                     + [[wheelbase], [0.0]])          # front, steered
+        polys.append(wheel + [[0.0], [side * tread]])  # rear
+    body = rot(yaw)
+    for p in polys:
+        q = body @ p + [[x], [y]]
+        ax.plot(q[0], q[1], color=color)
+    # heading arrow, stem 0.8*wheelbase with 30-degree hat lines (:33-56)
+    L = 0.8 * wheelbase
+    tip = np.array([x + L * math.cos(yaw), y + L * math.sin(yaw)])
+    ax.plot([x, tip[0]], [y, tip[1]], color=color, linewidth=2)
+    for s in (-1.0, 1.0):
+        a = yaw + math.pi + s * math.radians(30)
+        ax.plot([tip[0], tip[0] + 0.3 * L * math.cos(a)],
+                [tip[1], tip[1] + 0.3 * L * math.sin(a)],
+                color=color, linewidth=2)
+
+
+def plot_tracking_console(ax, steer: float, acc: float, acc_max: float = 5.0,
+                          wheel_sprite=None):
+    """Demo-1 console HUD: steering-wheel sprite rotated by ``steer`` around
+    (-5, 15) at extent [-8,-2]x[12,18], plus brake (cyan) and accelerator
+    (orange) bars scaled 6*|cmd|/acc_max (reference
+    scripts/1-lqr-pathtracking.py:108-123; drawn at fixed data coordinates,
+    matching the reference's fixed xlim/ylim view)."""
+    from matplotlib.transforms import Affine2D
+
+    if wheel_sprite is None:
+        wheel_sprite = _steering_wheel_sprite()
+    brake = max(-acc, 0.0)
+    acc = max(acc, 0.0)
+    tr = Affine2D().rotate_deg_around(-5, 15, np.degrees(steer)) + ax.transData
+    ax.imshow(wheel_sprite, transform=tr, extent=[-8, -2, 12, 18],
+              zorder=10.0, clip_on=True)
+    ax.fill([-1, 0, 0, -1],
+            [12, 12, 12 + 6 * brake / acc_max, 12 + 6 * brake / acc_max], "c")
+    ax.fill([1, 2, 2, 1],
+            [12, 12, 12 + 6 * acc / acc_max, 12 + 6 * acc / acc_max],
+            color="orange")
+
+
 def _demo_plot_road(ax):
     """Demo-2 road: borders at y=6/-2, dashed center at y=2
     (reference scripts/2-cilqr-motionplanning.py:395-398)."""

@@ -114,3 +114,39 @@ def test_render_frame_smoke():
     render_frame(ax, st, st.ego_x0, planned, np.asarray([0.5, 0.01]), tick=0)
     assert len(ax.images) >= 2  # car sprites + steering wheel blitted
     plt.close(fig)
+
+
+def test_plot_wire_car_and_console_smoke():
+    """Demo-1 car + console render headless: body outline, 4 wheels with the
+    front pair steered, heading arrow, wheel sprite, pedal bars
+    (reference scripts/1-lqr-pathtracking.py:59-123)."""
+    import matplotlib.pyplot as plt
+    from ilqr_tpu.viz.render import plot_tracking_console, plot_wire_car
+
+    fig, ax = plt.subplots()
+    plot_wire_car(ax, 3.0, 1.0, 0.4, steer=0.3)
+    # 5 polylines (outline + 4 wheels) + 3 arrow segments
+    assert len(ax.lines) == 8
+    # steered front wheels are rotated: their first segment is not parallel
+    # to the rear wheels'
+    segs = [l.get_xydata() for l in ax.lines]
+    def direction(s):
+        d = s[1] - s[0]
+        return d / np.hypot(*d)
+    rear_dir = direction(segs[2])
+    front_dir = direction(segs[1])
+    cross = rear_dir[0] * front_dir[1] - rear_dir[1] * front_dir[0]
+    assert abs(float(cross)) > 0.25  # ~sin(0.3)
+    plot_tracking_console(ax, steer=0.2, acc=-1.5, acc_max=5.0)
+    assert len(ax.images) == 1  # steering wheel blit
+    assert len(ax.patches) >= 2  # brake + accelerator bars
+    plt.close(fig)
+
+
+def test_lqr_tracking_app_renders(tmp_path):
+    """The demo-1 CLI renders the full frame (car + console) headless."""
+    from ilqr_tpu.apps.lqr_tracking import main
+
+    out = tmp_path / "frame.png"
+    assert main(["--save", str(out)]) == 0
+    assert out.exists() and out.stat().st_size > 0

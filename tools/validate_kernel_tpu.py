@@ -110,15 +110,18 @@ def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
     # measured p90 position gap 1.3e-2 m at p90 cost gap 5.6e-4 on
     # scenario_two_straight G=8 vs XLA. 5e-2 m catches real geometry
     # regressions while tolerating that multiplicity.
-    # Convergence band: 0.05 at batch 1024. On the margin-comfortable
-    # scenarios measured gaps are <= 0.014; on the oscillator-heavy bend
+    # Convergence band, per scenario (at batch 1024): on the three
+    # margin-comfortable scenarios measured gaps are <= 0.014, so 0.02
+    # (>= +1.4 binomial sigma of headroom at conv ~ 0.7) catches even a
+    # ~3% systematic convergence regression. On the oscillator-heavy bend
     # scenario the fraction is implementation-sensitive (measured 0.048 at
     # G=8 -- with the kernel converging MORE, in fewer mean iters, at
-    # p90 cost gap 1.6e-4), so a tighter band would flag chaotic path
-    # divergence rather than a regression. A systematic breakage still
-    # trips this: it moves the fraction by >> 0.05 (e.g. window 256:
-    # 0.27 vs 0.70) or blows the cost bound.
-    ok = cost_p90 < 1e-3 and pos_p90 < 5e-2 and conv_gap <= 0.05
+    # p90 cost gap 1.6e-4), so a tighter band there would flag chaotic
+    # path divergence rather than a regression; it keeps 0.05. A
+    # systematic breakage still trips either band: it moves the fraction
+    # by >> band (e.g. window 256: 0.27 vs 0.70) or blows the cost bound.
+    conv_band = 0.05 if name == "scenario_three_bend" else 0.02
+    ok = cost_p90 < 1e-3 and pos_p90 < 5e-2 and conv_gap <= conv_band
     print(
         f"{'PASS' if ok else 'FAIL'} {name}: iters_match={iters_match:.3f} "
         f"status_match={status_match:.3f} conv_k={np.mean(conv_k):.3f} "
@@ -139,11 +142,22 @@ def main():
                     help="per-step projection bound (-1 = derive from yaml)")
     ap.add_argument("--groups", type=int, default=1,
                     help="scenario groups per kernel tile (1 or 8)")
+    ap.add_argument("--canary", action="store_true",
+                    help="first run tools/xla_canary.py (the known-"
+                    "miscompile-family check); FAIL validation if the "
+                    "stack changed or regressed")
     args = ap.parse_args()
     names = [args.scenario] if args.scenario else SCENARIOS
     print(f"backend={jax.default_backend()} devices={len(jax.devices())}",
           flush=True)
     ok = True
+    if args.canary:
+        import subprocess
+        rc = subprocess.call(
+            [sys.executable, os.path.join(REPO, "tools", "xla_canary.py")])
+        print(f"{'PASS' if rc == 0 else 'FAIL'} xla_canary (rc={rc})",
+              flush=True)
+        ok = rc == 0
     for n in names:
         ok = run_one(n, args.batch, args.window, args.proj_rows,
                      args.groups) and ok
