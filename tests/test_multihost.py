@@ -53,6 +53,22 @@ _WORKER = textwrap.dedent("""
     print("RESULT", rank, float(summary["num_solves"]),
           float(summary["total_iters"]), float(summary["converged_frac"]),
           flush=True)
+
+    # the production engine over the same multi-host feeding path: fused
+    # Pallas kernel (interpret mode on CPU) per shard with straggler
+    # compaction, reduced shapes as tests/test_sharding.py
+    import dataclasses
+    from ilqr_tpu.parallel import sharded_kernel_solve_fn
+    cfg_k = dataclasses.replace(cfg, N=6)
+    scen_k = st.device_scenario(tick=0, horizon=cfg_k.N, dtype=jnp.float32)
+    scen_k_local = jax.tree.map(lambda a: jnp.stack([a] * n_local), scen_k)
+    fn_k = sharded_kernel_solve_fn(mesh, cfg_k, window=64, straggler_cap=3,
+                                   interpret=True)
+    u_k, x_k, stats_k, summary_k = fn_k(
+        replicate(mesh, w), x0_g, shard_batch_multihost(mesh, scen_k_local))
+    print("KRESULT", rank, float(summary_k["num_solves"]),
+          float(summary_k["total_iters"]), float(summary_k["converged_frac"]),
+          flush=True)
 """)
 
 
@@ -70,7 +86,7 @@ def test_two_process_sharded_solve(tmp_path):
             env=env, cwd=os.path.join(os.path.dirname(__file__), ".."))
         for r in range(2)
     ]
-    results = {}
+    results, kresults = {}, {}
     for r, p in enumerate(procs):
         out, _ = p.communicate(timeout=600)
         assert p.returncode == 0, f"rank {r} failed:\n{out[-3000:]}"
@@ -78,7 +94,15 @@ def test_two_process_sharded_solve(tmp_path):
             if line.startswith("RESULT"):
                 _, rank, n, iters, conv = line.split()
                 results[int(rank)] = (float(n), float(iters), float(conv))
+            elif line.startswith("KRESULT"):
+                _, rank, n, iters, conv = line.split()
+                kresults[int(rank)] = (float(n), float(iters), float(conv))
     assert set(results) == {0, 1}
     # psum'd summary identical on both hosts and covers the global batch
     assert results[0] == results[1]
     assert results[0][0] == 16.0
+    # kernel engine over the same multihost feeding path
+    assert set(kresults) == {0, 1}
+    assert kresults[0] == kresults[1]
+    assert kresults[0][0] == 16.0
+    assert kresults[0][1] > 0  # solver actually iterated
