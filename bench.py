@@ -16,10 +16,11 @@ BENCH_MODE=mpc switches to batched receding-horizon episodes (the
 reference's own workload shape) via run_mpc_kernel_scan: batch*ticks
 solves per run, metric "cilqr_mpc_solves_per_sec". Honest numbers (the
 bitwise-verified unrolled driver, docs/PERFORMANCE.md "MPC episodes"):
-29.1k solves/s at batch 8192 on one v5e chip, 29.7k with BENCH_WARM=1.
-Earlier 99.5k/104k figures were artifacts of the lax.scan miscompile
-(docs/PERFORMANCE.md "Second instance of the same bug family") and were
-retracted.
+51.2k solves/s at batch 8192 on one v5e chip with the default 8,16,32
+straggler schedule, 54.0k with BENCH_WARM=1 (logs:
+tools/results/bench_mpc_cap81632*.log). Earlier 99.5k/104k figures were
+artifacts of the lax.scan miscompile (docs/PERFORMANCE.md "Second
+instance of the same bug family") and were retracted.
 """
 
 import json
@@ -38,8 +39,9 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
     program (run_mpc_kernel_scan) -- the reference's own workload shape
     (120-150 MPC solves per scenario, src/motion_planning.cpp:180-270).
     Counts batch*ticks full 30-step solves per episode run. Measured at
-    29.1k solves/s on one v5e chip at batch 8192 with the verified
-    unrolled driver (docs/PERFORMANCE.md "MPC episodes")."""
+    51.2k solves/s (54.0k warm) on one v5e chip at batch 8192 with the
+    verified unrolled driver and the multi-phase straggler schedule
+    (docs/PERFORMANCE.md "MPC episodes")."""
     from ilqr_tpu.config import GlobalConfig
     from ilqr_tpu.sim.mpc import run_mpc_kernel_scan
     from ilqr_tpu.sim.scenario import build_scenario_setup, perturbed_initial_states
@@ -59,7 +61,10 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
     B = batch
     proj_rows = int(np.ceil(1.5 * float(gc["vehicle/velo_max"])
                             * float(gc["delta_t"]) / 0.1))
-    cap_s = os.environ.get("BENCH_CAP", "24")
+    # multi-phase straggler schedule, same default as the cold bench:
+    # 51.2k solves/s vs 29.1k at the round-2 single cap 24
+    # (tools/results/bench_mpc_cap81632.log vs bench_mode_mpc_unrolled.log)
+    cap_s = os.environ.get("BENCH_CAP", "8,16,32")
     cap = tuple(int(c) for c in cap_s.split(",") if c) if "," in cap_s \
         else int(cap_s)
     window = int(os.environ.get("BENCH_WINDOW", "384"))

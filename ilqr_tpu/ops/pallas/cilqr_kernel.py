@@ -1240,10 +1240,13 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         outs = tuple(_unilv(o) for o in outs)
         return outs if alm else outs + (None,)
 
+    import os as _os
+
     caps = (straggler_cap if isinstance(straggler_cap, tuple)
             else ((straggler_cap,) if straggler_cap else ()))
     caps = tuple(c for c in caps if 0 < c < cfg.max_iter)
-    if caps and G > 1 and not interpret:
+    if (caps and G > 1 and not interpret
+            and _os.environ.get("ILQR_UNSAFE_ALLOW_G8_CAP") != "1"):
         # KNOWN MISCOMPILE (v5e, jax 0.9/Mosaic): in a multi-pallas_call
         # program (capped phase + sorted resume) at G>1, the phase-1 call
         # returns catastrophically wrong results even though (a) the same
@@ -1256,7 +1259,9 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         # tools/results/g8_resume_tpu.log for the failure signature.
         # groups>1 also measures ~2.3x slower than groups=1 uncapped, so
         # the combination has no use case; refuse rather than return
-        # silently wrong results.
+        # silently wrong results. ILQR_UNSAFE_ALLOW_G8_CAP=1 bypasses the
+        # guard -- for tools/xla_canary.py ONLY, which runs the known-bad
+        # shape on purpose to detect toolchain changes.
         raise NotImplementedError(
             "groups>1 + straggler_cap miscompiles on TPU (XLA multi-call "
             "buffer bug, docs/PERFORMANCE.md); use groups=1 (default, "

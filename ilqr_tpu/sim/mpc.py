@@ -160,13 +160,14 @@ def run_mpc_kernel(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "ticks", "window", "interpret", "straggler_cap",
-                     "proj_rows_per_step", "groups", "unroll"),
+                     "proj_rows_per_step", "groups", "unroll", "with_carry"),
 )
 def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
                         ref_velo_b, obs_full_b, road_borders_b, ticks: int,
                         window: int = 512, interpret: bool = False,
                         straggler_cap: int = 0, proj_rows_per_step: int = 0,
-                        groups: int = 1, unroll: bool = True):
+                        groups: int = 1, unroll: bool = True,
+                        t0=0, carry_in=None, with_carry: bool = False):
     """Whole-episode batched MPC with the fused kernel in ONE compiled
     program: a ``lax.scan`` over ticks whose body is the Pallas solve.
 
@@ -179,8 +180,17 @@ def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
     episode is a single device program -- same results as the host-loop
     driver, tick for tick (tests/test_pallas_kernel.py).
 
+    ``t0`` (traced) offsets the obstacle-prediction window: tick k of this
+    call uses predictions starting at row ``t0 + k``. ``carry_in`` seeds
+    the cross-tick solver state ``(u_prev (B, N, 2), alm_mu (B, N, C0),
+    alm_rho (B,))`` -- pass the previous chunk's carry to split an episode
+    into chunks (:func:`run_mpc_kernel_chunked`); None = episode start
+    (zero u_prev == the reference's cold init, cold ALM duals).
+    ``with_carry`` additionally returns the final carry.
+
     Args as :func:`run_mpc_kernel`. Returns (ego (ticks+1, B, 4),
-    u_hist (ticks, B, N, 2), stats pytree with leading ticks axis).
+    u_hist (ticks, B, N, 2), stats pytree with leading ticks axis
+    [, carry_out]).
     """
     from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
 
@@ -217,9 +227,13 @@ def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
         new_ego = x[:, 1]
         return (new_ego, u, mu, rho), (new_ego, u, st)
 
-    mu0 = jnp.zeros((B, N, C0), jnp.float32)
-    rho0 = jnp.broadcast_to(jnp.asarray(w.alm_rho_init, jnp.float32), (B,))
-    carry0 = (x0_b, jnp.zeros((B, N, 2), jnp.float32), mu0, rho0)
+    if carry_in is None:
+        mu0 = jnp.zeros((B, N, C0), jnp.float32)
+        rho0 = jnp.broadcast_to(jnp.asarray(w.alm_rho_init, jnp.float32), (B,))
+        u_prev0 = jnp.zeros((B, N, 2), jnp.float32)
+    else:
+        u_prev0, mu0, rho0 = carry_in
+    carry0 = (x0_b, u_prev0, mu0, rho0)
     # ``unroll``: emit the ticks as straight-line calls instead of a
     # lax.scan loop. On v5e a pallas_call looped by lax.scan returns wrong
     # results from the second iteration on (ego advance collapses 0.8 ->
@@ -229,7 +243,66 @@ def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
     # straight-line are proven bitwise-correct on chip
     # (tools/results/g1_resume_tpu.log). Still ONE compiled program, no
     # per-tick dispatch; the Mosaic kernel compiles once either way.
-    _, (egos, us, stats) = lax.scan(tick_step, carry0, jnp.arange(ticks),
-                                    unroll=ticks if unroll else 1)
+    carry_f, (egos, us, stats) = lax.scan(
+        tick_step, carry0, t0 + jnp.arange(ticks),
+        unroll=ticks if unroll else 1)
     ego_traj = jnp.concatenate([x0_b[None], egos], axis=0)
+    if with_carry:
+        return ego_traj, us, stats, (carry_f[1], carry_f[2], carry_f[3])
     return ego_traj, us, stats
+
+
+def run_mpc_kernel_chunked(cfg: CILQRConfig, w: CILQRWeights, x0_b,
+                           ref_line_b, ref_velo_b, obs_full_b,
+                           road_borders_b, ticks: int, chunk: int = 10,
+                           window: int = 512, interpret: bool = False,
+                           straggler_cap: int = 0,
+                           proj_rows_per_step: int = 0, groups: int = 1):
+    """Reference-length episodes (120-150 ticks, max_simulation_time in the
+    shipped yamls / src/motion_planning.cpp:180) on the fused-kernel path.
+
+    The single-program driver must unroll its tick loop (the lax.scan
+    miscompile, see :func:`run_mpc_kernel_scan`), and a 120-tick unrolled
+    program exceeds the remote compiler's budget (one 10-tick chunk is
+    ~40 kernel calls already). This driver splits the episode into
+    fixed-size chunks of ``chunk`` ticks: ONE compiled chunk program
+    (identical shape every call -- the tick offset ``t0`` is a traced
+    scalar) is dispatched ceil(ticks/chunk) times, with the cross-tick
+    carry (ego, shifted-u warm start, ALM duals) staying device-resident
+    between calls. Host cost is one dispatch per chunk instead of per
+    tick; results are tick-for-tick identical to :func:`run_mpc_kernel`
+    (tested bitwise in tests/test_mpc_drivers.py).
+
+    ``ticks`` must be a multiple of ``chunk`` (pad the episode or pick a
+    divisor; the shipped scenarios' 120/150 ticks both divide by 10).
+    Returns (ego (ticks+1, B, 4), u_hist (ticks, B, N, 2), stats pytree
+    with leading ticks axis).
+    """
+    assert ticks % chunk == 0, "ticks must be a multiple of chunk"
+    x0_b = jnp.asarray(x0_b, jnp.float32)
+    ego = x0_b
+    B, N = x0_b.shape[0], cfg.N
+    C0 = 8 + 2 * cfg.num_obstacles
+    # explicit episode-start carry (not None) so every chunk -- including
+    # the first -- hits the same compiled program
+    carry = (jnp.zeros((B, N, 2), jnp.float32),
+             jnp.zeros((B, N, C0), jnp.float32),
+             jnp.broadcast_to(jnp.asarray(w.alm_rho_init, jnp.float32), (B,)))
+    egos, us, stats_hist = [], [], []
+    for c in range(ticks // chunk):
+        ego_c, us_c, stats_c, carry = run_mpc_kernel_scan(
+            cfg, w, ego, ref_line_b, ref_velo_b, obs_full_b, road_borders_b,
+            ticks=chunk, window=window, interpret=interpret,
+            straggler_cap=straggler_cap,
+            proj_rows_per_step=proj_rows_per_step, groups=groups,
+            t0=jnp.asarray(c * chunk, jnp.int32), carry_in=carry,
+            with_carry=True)
+        ego = ego_c[-1]
+        egos.append(ego_c[1:])
+        us.append(us_c)
+        stats_hist.append(stats_c)
+    ego_traj = jnp.concatenate([x0_b[None]] + egos, axis=0)
+    u_hist = jnp.concatenate(us, axis=0)
+    stats = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                         *stats_hist)
+    return ego_traj, u_hist, stats

@@ -426,3 +426,39 @@ def test_kernel_groups8_straggler_resume_bitwise(small_problem):
     np.testing.assert_array_equal(np.asarray(st1.iters), np.asarray(st2.iters))
     np.testing.assert_array_equal(np.asarray(st1.status),
                                   np.asarray(st2.status))
+
+
+def test_kernel_episode_chunked_matches_scan():
+    """Chunked episode driver (the reference-length-episode path): splitting
+    an episode into fixed-size chunks with a device-resident carry must be
+    bitwise identical to the single-program scan driver. Covers the
+    carry-richest case: ALM duals + shifted-u warm start crossing a chunk
+    boundary, plus the traced t0 obstacle-window offset."""
+    from ilqr_tpu.sim.mpc import run_mpc_kernel_chunked, run_mpc_kernel_scan
+
+    gc = GlobalConfig.from_file(
+        os.path.join(CONFIG_DIR, "scenario_three_straight.yaml"))
+    st = build_scenario_setup(gc)
+    cfg = dataclasses.replace(CILQRConfig.from_global_config(gc, max_iter=6),
+                              N=6, solve_type="alm")
+    assert cfg.use_last_solution
+    w = CILQRWeights.from_global_config(gc, dtype=jnp.float32)
+    scenario = st.device_scenario(tick=0, dtype=jnp.float32)
+    B, ticks = 2, 4
+    x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, B, seed=3),
+                       jnp.float32)
+    scen_b = jax.tree.map(lambda a: jnp.stack([a] * B), scenario)
+    obs_full_b = jnp.stack([jnp.asarray(st.obs_preds_array(),
+                                        jnp.float32)] * B)
+    args = (cfg, w, x0_b, scen_b.ref_line, scen_b.ref_velo, obs_full_b,
+            scen_b.road_borders)
+    ego_s, us_s, st_s = run_mpc_kernel_scan(
+        *args, ticks=ticks, window=256, interpret=True)
+    ego_c, us_c, st_c = run_mpc_kernel_chunked(
+        *args, ticks=ticks, chunk=2, window=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ego_s), np.asarray(ego_c))
+    np.testing.assert_array_equal(np.asarray(us_s), np.asarray(us_c))
+    np.testing.assert_array_equal(np.asarray(st_s.iters),
+                                  np.asarray(st_c.iters))
+    np.testing.assert_array_equal(np.asarray(st_s.status),
+                                  np.asarray(st_c.status))
