@@ -67,6 +67,13 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
     cap_s = os.environ.get("BENCH_CAP", "8,16,32")
     cap = tuple(int(c) for c in cap_s.split(",") if c) if "," in cap_s \
         else int(cap_s)
+    # warm ticks converge in ~5-6 iters; a lower schedule for them
+    # (BENCH_CAP_WARM, e.g. "4,8,16") applies to every tick but the first
+    capw_s = os.environ.get("BENCH_CAP_WARM", "")
+    capw = None
+    if capw_s:
+        capw = (tuple(int(c) for c in capw_s.split(",") if c)
+                if "," in capw_s else int(capw_s))
     window = int(os.environ.get("BENCH_WINDOW", "384"))
     interpret = jax.default_backend() == "cpu"  # smoke-test path only
     x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, B, seed=0), dtype)
@@ -92,6 +99,7 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
         mesh = make_mesh(n_dev)
         episode = partial(run_mpc_kernel_scan, cfg, ticks=ticks,
                           window=window, straggler_cap=cap,
+                          straggler_cap_warm=capw,
                           proj_rows_per_step=proj_rows, interpret=interpret)
 
         @partial(jax.shard_map, mesh=mesh,
@@ -114,7 +122,7 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
         def run():
             ego, us, stats = run_mpc_kernel_scan(
                 cfg, w, x0_b, ref_b, rv_b, obs_b, rb_b, ticks=ticks,
-                window=window, straggler_cap=cap,
+                window=window, straggler_cap=cap, straggler_cap_warm=capw,
                 proj_rows_per_step=proj_rows, interpret=interpret)
             return stats.iters, jnp.mean(ego[-1, :, 0])
 
@@ -157,6 +165,8 @@ def build(batch: int, dtype=jnp.float32):
         if proj_rows < 0:
             proj_rows = int(np.ceil(1.5 * float(gc["vehicle/velo_max"])
                                     * float(gc["delta_t"]) / 0.1))
+        # window rows behind the initial projection (see kernel docstring)
+        w_back = int(os.environ.get("BENCH_WBACK", "64"))
         # scenario groups per kernel tile (1 = replicated per-step rows,
         # 8 = full-vreg rows; see cilqr_kernel._build_kernel)
         groups = int(os.environ.get("BENCH_GROUPS", "1"))
@@ -196,7 +206,7 @@ def build(batch: int, dtype=jnp.float32):
             u, x, stats = cilqr_solve_pallas(cfg, w, x0_b, scen_b,
                                              window=window, straggler_cap=cap,
                                              proj_rows_per_step=proj_rows,
-                                             groups=groups)
+                                             groups=groups, w_back=w_back)
             return stats.iters, jnp.mean(stats.converged.astype(jnp.float32))
     else:
         cfg = CILQRConfig.from_global_config(gc, line_search_width=4)

@@ -37,6 +37,14 @@ def main(argv=None) -> int:
                         help="auto = fused Pallas kernel on accelerators "
                         "(the fast path, ~36k solves/s/chip vs ~409 for "
                         "xla -- docs/PERFORMANCE.md), xla on CPU")
+    parser.add_argument("--window", type=int, default=384,
+                        help="kernel engine: per-scenario refline window "
+                        "(384 validated on all four scenarios -- "
+                        "tools/validate_kernel_tpu.py)")
+    parser.add_argument("--proj-rows", type=int, default=-1,
+                        help="kernel engine: per-step projection search "
+                        "bound; -1 derives from the yaml speed limit with "
+                        "1.5x headroom, 0 disables")
     parser.add_argument("--straggler-cap", default="8,16,32",
                         help="kernel engine: straggler-compaction iteration "
                         "cap or comma-separated multi-phase schedule "
@@ -74,6 +82,10 @@ def main(argv=None) -> int:
 
     gc = GlobalConfig.from_file(args.config)
     st = build_scenario_setup(gc)
+    proj_rows = args.proj_rows
+    if proj_rows < 0:
+        proj_rows = int(np.ceil(1.5 * float(gc["vehicle/velo_max"])
+                                * float(gc["delta_t"]) / 0.1))
     cfg = CILQRConfig.from_global_config(gc)
     w = CILQRWeights.from_global_config(gc, dtype=jnp.float32)
     scenario = st.device_scenario(tick=0, dtype=jnp.float32)
@@ -92,7 +104,8 @@ def main(argv=None) -> int:
             # (ALM composes with compaction since the duals became kernel
             # I/O -- see cilqr_solve_pallas)
             solve_fn = sharded_kernel_solve_fn(
-                mesh, cfg, straggler_cap=straggler_cap)
+                mesh, cfg, window=args.window, straggler_cap=straggler_cap,
+                proj_rows_per_step=proj_rows)
         else:
             solve_fn = sharded_solve_fn(mesh, cfg)
         w_d = replicate(mesh, w)
@@ -125,7 +138,8 @@ def main(argv=None) -> int:
             summary = jax.tree.map(np.asarray, summary)
         elif args.engine == "kernel":
             _, _, stats = cilqr_solve_pallas(
-                cfg, w, x0_b, scen_b, straggler_cap=straggler_cap)
+                cfg, w, x0_b, scen_b, window=args.window,
+                straggler_cap=straggler_cap, proj_rows_per_step=proj_rows)
             summary = jax.tree.map(np.asarray, aggregate_stats(stats))
         else:
             _, _, stats, _ = vsolve(cfg, w, x0_b, scen_b, None)

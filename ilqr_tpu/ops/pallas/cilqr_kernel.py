@@ -996,13 +996,15 @@ _PROJ_SLACK = 48  # extra window rows (4.8 m) above the per-step search bound
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "window", "interpret", "straggler_cap",
-                     "proj_rows_per_step", "groups", "return_alm"),
+                     "proj_rows_per_step", "groups", "return_alm",
+                     "w_back"),
 )
 def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
                        window: int = 512, interpret: bool = False,
                        u_init=None, straggler_cap: int = 0,
                        proj_rows_per_step: int = 0, groups: int = 1,
-                       alm_mu0=None, alm_rho0=None, return_alm: bool = False):
+                       alm_mu0=None, alm_rho0=None, return_alm: bool = False,
+                       w_back: int = W_BACK):
     """Batched CILQR solve via the fused kernel.
 
     Args mirror :func:`ilqr_tpu.solvers.cilqr.solve_batch`. x0_b: (B, 4);
@@ -1051,6 +1053,14 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     bound can only raise a trial's cost, i.e. reject near-marginal steps,
     never accept new ones -- see project()).
 
+    ``w_back``: window rows kept behind the ego's initial projection
+    (default 64 = 6.4 m). Every per-step search bound includes these rows,
+    so shrinking it cuts projection work (the largest single cost in the
+    kernel, docs/PERFORMANCE.md "Where the kernel time goes") at the risk
+    of clipping trajectories whose nearest point regresses behind the
+    start; with v >= 0 dynamics the regression is bounded by lateral
+    excursions (validate on-hardware before changing the default).
+
     ``groups``: scenario groups per kernel tile (see ``_build_kernel``).
     groups=8 packs 1024 scenarios per tile so every per-step quantity is
     a full (8, 128) vector register; fold-based reduction orders differ
@@ -1094,7 +1104,7 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     # -- the invariant the per-step search bounds below rely on.
     d2 = (ref[:, :, 0] - x0_b[:, None, 0]) ** 2 + (ref[:, :, 1] - x0_b[:, None, 1]) ** 2
     c = jnp.argmin(d2, axis=1)
-    start = jnp.maximum(c - W_BACK, 0)
+    start = jnp.maximum(c - w_back, 0)
     gidx = start[:, None] + jnp.arange(W)[None, :]
     gidx = jnp.minimum(gidx, P - 1)
     win = jnp.take_along_axis(ref, gidx[:, :, None], axis=1)  # (B, W, 4)
@@ -1185,7 +1195,7 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         # per-step static search bounds (see project() docstring); rounded
         # to vreg sublane multiples
         row_limits = tuple(
-            min(W, -(-(W_BACK + _PROJ_SLACK + k * proj_rows_per_step) // 8) * 8)
+            min(W, -(-(w_back + _PROJ_SLACK + k * proj_rows_per_step) // 8) * 8)
             for k in range(N + 1))
     else:
         row_limits = None

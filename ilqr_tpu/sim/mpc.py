@@ -160,14 +160,16 @@ def run_mpc_kernel(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "ticks", "window", "interpret", "straggler_cap",
-                     "proj_rows_per_step", "groups", "unroll", "with_carry"),
+                     "proj_rows_per_step", "groups", "unroll", "with_carry",
+                     "straggler_cap_warm", "cold_first_tick"),
 )
 def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
                         ref_velo_b, obs_full_b, road_borders_b, ticks: int,
                         window: int = 512, interpret: bool = False,
                         straggler_cap: int = 0, proj_rows_per_step: int = 0,
                         groups: int = 1, unroll: bool = True,
-                        t0=0, carry_in=None, with_carry: bool = False):
+                        t0=0, carry_in=None, with_carry: bool = False,
+                        straggler_cap_warm=None, cold_first_tick: bool = True):
     """Whole-episode batched MPC with the fused kernel in ONE compiled
     program: a ``lax.scan`` over ticks whose body is the Pallas solve.
 
@@ -188,6 +190,14 @@ def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
     (zero u_prev == the reference's cold init, cold ALM duals).
     ``with_carry`` additionally returns the final carry.
 
+    ``straggler_cap_warm``: straggler schedule for warm ticks. Warm-started
+    solves converge in ~5-6 mean iterations vs ~12 cold (docs/
+    PERFORMANCE.md "MPC episodes"), so compacting earlier pays; only the
+    episode's first tick (cold unless ``cold_first_tick`` is False --
+    chunk continuations pass False) keeps ``straggler_cap``. None = one
+    schedule everywhere. Requires ``unroll`` (per-tick static knobs need
+    the straight-line tick chain).
+
     Args as :func:`run_mpc_kernel`. Returns (ego (ticks+1, B, 4),
     u_hist (ticks, B, N, 2), stats pytree with leading ticks axis
     [, carry_out]).
@@ -200,7 +210,7 @@ def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
     B, N = x0_b.shape[0], cfg.N
     C0 = 8 + 2 * cfg.num_obstacles
 
-    def tick_step(carry, t):
+    def tick_step(carry, t, cap=straggler_cap):
         ego, u_prev, mu, rho = carry
         scenario = Scenario(
             ref_line=ref_line_b,
@@ -215,14 +225,14 @@ def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
         if alm:
             u, x, st, (mu, rho) = cilqr_solve_pallas(
                 cfg, w, ego, scenario, window=window, interpret=interpret,
-                u_init=u_init, straggler_cap=straggler_cap,
+                u_init=u_init, straggler_cap=cap,
                 proj_rows_per_step=proj_rows_per_step, groups=groups,
                 alm_mu0=mu if carry_duals else None,
                 alm_rho0=rho if carry_duals else None, return_alm=True)
         else:
             u, x, st = cilqr_solve_pallas(
                 cfg, w, ego, scenario, window=window, interpret=interpret,
-                u_init=u_init, straggler_cap=straggler_cap,
+                u_init=u_init, straggler_cap=cap,
                 proj_rows_per_step=proj_rows_per_step, groups=groups)
         new_ego = x[:, 1]
         return (new_ego, u, mu, rho), (new_ego, u, st)
@@ -242,10 +252,31 @@ def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
     # straggler compaction"), while the identical calls chained
     # straight-line are proven bitwise-correct on chip
     # (tools/results/g1_resume_tpu.log). Still ONE compiled program, no
-    # per-tick dispatch; the Mosaic kernel compiles once either way.
-    carry_f, (egos, us, stats) = lax.scan(
-        tick_step, carry0, t0 + jnp.arange(ticks),
-        unroll=ticks if unroll else 1)
+    # per-tick dispatch; the Mosaic kernel compiles once either way. The
+    # straight-line chain is an explicit Python loop (not scan unroll=n)
+    # so warm ticks can use their own static straggler schedule.
+    if unroll:
+        t0 = jnp.asarray(t0, jnp.int32)
+        warm_cap = (straggler_cap if straggler_cap_warm is None
+                    else straggler_cap_warm)
+        carry = carry0
+        egos_l, us_l, st_l = [], [], []
+        for k in range(ticks):
+            cap_k = (straggler_cap if (k == 0 and cold_first_tick)
+                     else warm_cap)
+            carry, (e_k, u_k, s_k) = tick_step(carry, t0 + k, cap=cap_k)
+            egos_l.append(e_k)
+            us_l.append(u_k)
+            st_l.append(s_k)
+        carry_f = carry
+        egos = jnp.stack(egos_l)
+        us = jnp.stack(us_l)
+        stats = jax.tree.map(lambda *xs: jnp.stack(xs), *st_l)
+    else:
+        assert straggler_cap_warm is None, \
+            "per-tick schedules require unroll=True"
+        carry_f, (egos, us, stats) = lax.scan(
+            tick_step, carry0, t0 + jnp.arange(ticks), unroll=1)
     ego_traj = jnp.concatenate([x0_b[None], egos], axis=0)
     if with_carry:
         return ego_traj, us, stats, (carry_f[1], carry_f[2], carry_f[3])
@@ -257,7 +288,8 @@ def run_mpc_kernel_chunked(cfg: CILQRConfig, w: CILQRWeights, x0_b,
                            road_borders_b, ticks: int, chunk: int = 10,
                            window: int = 512, interpret: bool = False,
                            straggler_cap: int = 0,
-                           proj_rows_per_step: int = 0, groups: int = 1):
+                           proj_rows_per_step: int = 0, groups: int = 1,
+                           straggler_cap_warm=None):
     """Reference-length episodes (120-150 ticks, max_simulation_time in the
     shipped yamls / src/motion_planning.cpp:180) on the fused-kernel path.
 
@@ -290,13 +322,17 @@ def run_mpc_kernel_chunked(cfg: CILQRConfig, w: CILQRWeights, x0_b,
              jnp.broadcast_to(jnp.asarray(w.alm_rho_init, jnp.float32), (B,)))
     egos, us, stats_hist = [], [], []
     for c in range(ticks // chunk):
+        # chunk continuations (c > 0) start on a warm tick: cold_first_tick
+        # only for the true episode start, so at most 2 compiled chunk
+        # programs exist when straggler_cap_warm differs
         ego_c, us_c, stats_c, carry = run_mpc_kernel_scan(
             cfg, w, ego, ref_line_b, ref_velo_b, obs_full_b, road_borders_b,
             ticks=chunk, window=window, interpret=interpret,
             straggler_cap=straggler_cap,
             proj_rows_per_step=proj_rows_per_step, groups=groups,
             t0=jnp.asarray(c * chunk, jnp.int32), carry_in=carry,
-            with_carry=True)
+            with_carry=True, straggler_cap_warm=straggler_cap_warm,
+            cold_first_tick=(c == 0 or straggler_cap_warm is None))
         ego = ego_c[-1]
         egos.append(ego_c[1:])
         us.append(us_c)

@@ -462,3 +462,43 @@ def test_kernel_episode_chunked_matches_scan():
                                   np.asarray(st_c.iters))
     np.testing.assert_array_equal(np.asarray(st_s.status),
                                   np.asarray(st_c.status))
+
+
+def test_kernel_episode_warm_tick_schedule_bitwise():
+    """Per-tick straggler schedules (straggler_cap_warm for ticks >= 1)
+    must not change results: compaction is bitwise-exact at any cap, so
+    only wall time may differ. Covers the scan driver and the chunked
+    driver's cold-first-chunk split."""
+    from ilqr_tpu.sim.mpc import run_mpc_kernel_chunked, run_mpc_kernel_scan
+
+    gc = GlobalConfig.from_file(
+        os.path.join(CONFIG_DIR, "scenario_three_straight.yaml"))
+    st = build_scenario_setup(gc)
+    cfg = dataclasses.replace(CILQRConfig.from_global_config(gc, max_iter=6),
+                              N=6, solve_type="alm")
+    w = CILQRWeights.from_global_config(gc, dtype=jnp.float32)
+    scenario = st.device_scenario(tick=0, dtype=jnp.float32)
+    B, ticks = 2, 4
+    x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, B, seed=3),
+                       jnp.float32)
+    scen_b = jax.tree.map(lambda a: jnp.stack([a] * B), scenario)
+    obs_full_b = jnp.stack([jnp.asarray(st.obs_preds_array(),
+                                        jnp.float32)] * B)
+    args = (cfg, w, x0_b, scen_b.ref_line, scen_b.ref_velo, obs_full_b,
+            scen_b.road_borders)
+    ego_u, us_u, st_u = run_mpc_kernel_scan(
+        *args, ticks=ticks, window=256, interpret=True, straggler_cap=3)
+    ego_w, us_w, st_w = run_mpc_kernel_scan(
+        *args, ticks=ticks, window=256, interpret=True, straggler_cap=3,
+        straggler_cap_warm=2)
+    np.testing.assert_array_equal(np.asarray(ego_u), np.asarray(ego_w))
+    np.testing.assert_array_equal(np.asarray(us_u), np.asarray(us_w))
+    np.testing.assert_array_equal(np.asarray(st_u.iters),
+                                  np.asarray(st_w.iters))
+    ego_c, us_c, st_c = run_mpc_kernel_chunked(
+        *args, ticks=ticks, chunk=2, window=256, interpret=True,
+        straggler_cap=3, straggler_cap_warm=2)
+    np.testing.assert_array_equal(np.asarray(ego_u), np.asarray(ego_c))
+    np.testing.assert_array_equal(np.asarray(us_u), np.asarray(us_c))
+    np.testing.assert_array_equal(np.asarray(st_u.iters),
+                                  np.asarray(st_c.iters))

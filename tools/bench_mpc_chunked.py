@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--ticks", type=int, default=0,
                     help="0 = the yaml's max_simulation_time / delta_t")
     ap.add_argument("--cap", default="8,16,32")
+    ap.add_argument("--cap-warm", default="",
+                    help="straggler schedule for warm ticks (all but the "
+                    "episode's first); empty = same as --cap")
     ap.add_argument("--window", type=int, default=384)
     ap.add_argument("--warm", action="store_true",
                     help="use_last_solution shifted-u warm start")
@@ -68,6 +71,10 @@ def main():
     cap_s = str(args.cap)
     cap = (tuple(int(c) for c in cap_s.split(",") if c) if "," in cap_s
            else int(cap_s))
+    capw = None
+    if args.cap_warm:
+        capw = (tuple(int(c) for c in args.cap_warm.split(",") if c)
+                if "," in args.cap_warm else int(args.cap_warm))
     proj_rows = int(np.ceil(1.5 * float(gc["vehicle/velo_max"])
                             * float(gc["delta_t"]) / 0.1))
 
@@ -83,14 +90,16 @@ def main():
               jnp.stack([scenario.road_borders] * B))
     kw = dict(window=args.window, interpret=interpret, straggler_cap=cap,
               proj_rows_per_step=proj_rows)
+    ckw = dict(kw, straggler_cap_warm=capw)
     print(f"backend={jax.default_backend()} scenario={args.scenario} "
           f"B={B} ticks={ticks} chunk={args.chunk} cap={cap} "
+          f"cap_warm={capw} "
           f"warm={args.warm}", flush=True)
 
     if args.check:
         t0 = time.perf_counter()
         ego_c, us_c, st_c = run_mpc_kernel_chunked(
-            cfg, w, x0_b, *common, ticks=ticks, chunk=args.chunk, **kw)
+            cfg, w, x0_b, *common, ticks=ticks, chunk=args.chunk, **ckw)
         ego_c, us_c = np.asarray(ego_c), np.asarray(us_c)
         it_c = np.asarray(st_c.iters)
         t_c = time.perf_counter() - t0
@@ -116,7 +125,7 @@ def main():
     # full-length episode benchmark
     def run():
         ego, us, stats = run_mpc_kernel_chunked(
-            cfg, w, x0_b, *common, ticks=ticks, chunk=args.chunk, **kw)
+            cfg, w, x0_b, *common, ticks=ticks, chunk=args.chunk, **ckw)
         return stats.iters, ego[-1, :, 0]
 
     t0 = time.perf_counter()

@@ -34,7 +34,7 @@ SCENARIOS = [
 
 
 def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
-            groups: int = 1) -> bool:
+            groups: int = 1, w_back: int = 64) -> bool:
     from ilqr_tpu.config import GlobalConfig
     from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
     from ilqr_tpu.sim.scenario import build_scenario_setup, perturbed_initial_states
@@ -58,7 +58,7 @@ def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
                                 * float(gc["delta_t"]) / 0.1))
     u_k, x_k, st_k = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=window,
                                         proj_rows_per_step=proj_rows,
-                                        groups=groups)
+                                        groups=groups, w_back=w_back)
     u_k, x_k = np.asarray(u_k), np.asarray(x_k)
     it_k = np.asarray(st_k.iters)
     stat_k = np.asarray(st_k.status)
@@ -142,6 +142,8 @@ def main():
                     help="per-step projection bound (-1 = derive from yaml)")
     ap.add_argument("--groups", type=int, default=1,
                     help="scenario groups per kernel tile (1 or 8)")
+    ap.add_argument("--w-back", type=int, default=64,
+                    help="window rows behind the initial projection")
     ap.add_argument("--canary", action="store_true",
                     help="first run tools/xla_canary.py (the known-"
                     "miscompile-family check); FAIL validation if the "
@@ -160,7 +162,7 @@ def main():
         ok = rc == 0
     for n in names:
         ok = run_one(n, args.batch, args.window, args.proj_rows,
-                     args.groups) and ok
+                     args.groups, args.w_back) and ok
     sys.exit(0 if ok else 1)
 
 
