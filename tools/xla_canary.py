@@ -67,11 +67,15 @@ def _setup(batch, N, max_iter, seed=0):
 def check_scan_loop(batch: int) -> str:
     """Family 1: episode driver with lax.scan-looped kernel vs the
     bitwise-proven straight-line chaining (tools/results/
-    mpc_unroll_check.log). 2 ticks suffice: the bug fires on tick 2."""
+    mpc_unroll_check.log). 2 ticks suffice: the bug fires by tick 2 (and
+    at small shapes can corrupt even tick 1's stacked outputs -- observed
+    on the 2026-08 stack, tools/results/xla_canary.log). The host-loop
+    driver (one dispatch per tick, no scan anywhere) is the known-good
+    answer both forms are judged against."""
     import jax
     import jax.numpy as jnp
 
-    from ilqr_tpu.sim.mpc import run_mpc_kernel_scan
+    from ilqr_tpu.sim.mpc import run_mpc_kernel, run_mpc_kernel_scan
 
     ticks, N, window = 2, 30, 256
     gc, st, cfg, w, x0_b = _setup(batch, N, max_iter=12)
@@ -90,16 +94,18 @@ def check_scan_loop(batch: int) -> str:
             jnp.stack([scenario.road_borders] * B))
     kw = dict(ticks=ticks, window=window, straggler_cap=0,
               proj_rows_per_step=0)
+    # known-good: host loop, no scan in the program at all
+    ego_h, us_h, _ = run_mpc_kernel(cfg, *args, **kw)
+    ego_h, us_h = np.asarray(ego_h), np.asarray(us_h)
     ego_u, us_u, _ = run_mpc_kernel_scan(cfg, *args, unroll=True, **kw)
     ego_u, us_u = np.asarray(ego_u), np.asarray(us_u)
     ego_s, us_s, _ = run_mpc_kernel_scan(cfg, *args, unroll=False, **kw)
     ego_s, us_s = np.asarray(ego_s), np.asarray(us_s)
-    # tick 1 (the first solve) must agree regardless -- if even that
-    # diverges, the known-good shape itself regressed
-    if not (np.array_equal(ego_u[1], ego_s[1])
-            and np.array_equal(us_u[0], us_s[0])):
+    # the production (unrolled) form must match the host loop bitwise --
+    # if not, the known-good shape itself regressed
+    if not (np.array_equal(ego_u, ego_h) and np.array_equal(us_u, us_h)):
         return "REGRESSION"
-    equal = (np.array_equal(ego_u, ego_s) and np.array_equal(us_u, us_s))
+    equal = (np.array_equal(ego_s, ego_h) and np.array_equal(us_s, us_h))
     return "ABSENT" if equal else "PRESENT"
 
 
