@@ -76,7 +76,7 @@ def _alpha_count(min_alpha: float) -> int:
 def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                   rear_center: bool, use_alm: bool,
                   resume: bool = False, it0: int = 0,
-                  row_limits=None, G: int = 1):
+                  row_limits=None, G: int = 1, ls_chunk: int = 0):
     """Returns the kernel body function (closed over static shapes).
 
     In ALM mode the per-constraint dual state (mu slabs, one per constraint
@@ -109,11 +109,27 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
     first-match-wins pair fold (see ``project``); fold order differs from
     jnp reductions, so G>1 matches G=1 statistically (same convergence
     behavior), not bitwise. G=1 preserves the original code paths exactly.
+
+    ``ls_chunk`` (chunked line search, G=1 only): evaluate line-search
+    trials in chunks of this many alphas, with ALL of a chunk's trial
+    rollouts packed into one (ls_chunk, 128) sublane chain
+    (``forward_packed``). The serial early-exit loop pays its N-step
+    dependent rollout chain once per *trial*, and the whole tile waits for
+    its straggliest lane -- measured on the bench workload
+    (tools/measure_ls_trials.py): 28.7% of solver iterations exhaust all
+    20 alphas (the reference's line-search failure path,
+    src/cilqr_solver.cpp:340-380) and the 128-lane lockstep max averages
+    ~13 trials/iteration. Chunking caps that at ceil(20/ls_chunk) chains.
+    Projection, cost, and the accept/converge updates run per alpha
+    through the SAME code as the serial loop on sublane-extracted rows,
+    and alphas are exact powers of two, so results are bitwise-identical
+    to ls_chunk=0. 0 = the serial early-exit loop.
     """
     f32 = jnp.float32
     C = 8 + 2 * M  # constraint columns (ALM dual layout)
     NHG = NH * G
     assert G == 1 or G == 8, "G must be 1 (replicated rows) or 8 (vreg rows)"
+    assert ls_chunk == 0 or G == 1, "chunked line search is G=1 only"
 
     def kernel(*refs):
         (wts_ref, x0_ref, uinit_ref, rx_ref, ry_ref, ryaw_ref,
@@ -724,6 +740,54 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             return (_stack(uas), _stack(uss), _stack(nxs), _stack(nys),
                     _stack(nvs), _stack(nhs), nxs, nys)
 
+        if ls_chunk:
+            CW = ls_chunk
+            n_chunks = -(-n_alphas // CW)
+            ci = lax.broadcasted_iota(jnp.int32, (CW, LANES), 0)
+            x0c = [_tile_rows(p, CW) for p in x0]
+
+            def _sub(p, a):
+                """(CW, 128) packed trial rows -> trial a's (1, 128) row
+                (masked reduce, born replicated -- the same layout class as
+                the serial forward()'s outputs)."""
+                return jnp.sum(jnp.where(ci == a, p, 0.0), axis=0,
+                               keepdims=True)
+
+            def forward_packed(ua_rows, us_rows, px_rows, py_rows, pv_rows,
+                               ph_rows, d_rows, K_rows, AL):
+                """One chunk's CW trial rollouts as ONE (CW, 128) chain.
+
+                Sublane a carries the alpha = AL[a] trial. Every operation
+                is elementwise and AL holds exact powers of two, so sublane
+                a is bitwise-identical to forward() at that scalar alpha;
+                the N-step dependent chain (the line search's latency
+                bottleneck) is paid once per chunk instead of once per
+                alpha. Semantics: reference src/cilqr_solver.cpp:442-461.
+                """
+                uas, uss = [], []
+                cx, cy, cv, ch = x0c
+                nxs, nys, nvs, nhs = [cx], [cy], [cv], [ch]
+                for k in range(N):
+                    e0 = cx - px_rows[k]
+                    e1 = cy - py_rows[k]
+                    e2 = cv - pv_rows[k]
+                    e3 = ch - ph_rows[k]
+                    Kr = K_rows[k]
+                    na = (ua_rows[k] + Kr[0][0] * e0 + Kr[0][1] * e1
+                          + Kr[0][2] * e2 + Kr[0][3] * e3
+                          + AL * d_rows[k][0])
+                    ns = (us_rows[k] + Kr[1][0] * e0 + Kr[1][1] * e1
+                          + Kr[1][2] * e2 + Kr[1][3] * e3
+                          + AL * d_rows[k][1])
+                    uas.append(na)
+                    uss.append(ns)
+                    cx, cy, cv, ch = propagate(cx, cy, cv, ch, na, ns)
+                    nxs.append(cx)
+                    nys.append(cy)
+                    nvs.append(cv)
+                    nhs.append(ch)
+                return uas, uss, nxs, nys, nvs, nhs
+
         # -- solve --------------------------------------------------------
         # while_loop carries must not be constant-folded values: Mosaic pins
         # the carry layout to the (fully replicated) constant layout and
@@ -848,13 +912,80 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                         j_hit,
                         BUA, BUS, BPX, BPY, BPV, BPH, BRX, BRY, BRH)
 
+            # chunked line search (see _build_kernel docstring): the while
+            # loop advances one CW-alpha chunk at a time; within a chunk the
+            # CW trial rollouts are one packed sublane chain and the
+            # per-alpha projection/cost/accept updates replay the serial
+            # loop's code (and exact fp behavior) on extracted rows.
+            def ls_cond_p(ls):
+                t = ls[0]
+                ls_done_f = ls[1]
+                return (t < n_chunks) & (jnp.min(ls_done_f) < 0.5)
+
+            def ls_body_p(ls):
+                (t, ls_done_f, acc_f2, convf_f2, small_f2, j_hit,
+                 BUA, BUS, BPX, BPY, BPV, BPH, BRX, BRY, BRH) = ls
+                ls_done = ls_done_f > 0.5
+                acc = acc_f2 > 0.5
+                convf = convf_f2 > 0.5
+                small = small_f2 > 0.5
+                t0 = t * CW
+                AL = jnp.exp2(-(t0 + ci).astype(f32))
+                pua, pus, pxs, pys, pvs, phs = forward_packed(
+                    ua_rows, us_rows, px_rows, py_rows, pv_rows, ph_rows,
+                    d_rows, K_rows, AL)
+                for a in range(CW):
+                    te = t0 + a
+                    alpha = jnp.exp2(-te.astype(f32))
+                    nua_r = [_sub(p, a) for p in pua]
+                    nus_r = [_sub(p, a) for p in pus]
+                    npxr = [_sub(p, a) for p in pxs]
+                    npyr = [_sub(p, a) for p in pys]
+                    npvr = [_sub(p, a) for p in pvs]
+                    nphr = [_sub(p, a) for p in phs]
+                    NUA, NUS = _stack(nua_r), _stack(nus_r)
+                    NPX, NPY = _stack(npxr), _stack(npyr)
+                    NPV, NPH = _stack(npvr), _stack(nphr)
+                    TRX, TRY, TRH = project(npxr, npyr)
+                    nJ = total_cost(NUA, NUS, NPX, NPY, NPV, NPH,
+                                    TRX, TRY, TRH, rho, mus)
+                    decay = ori_J - nJ
+                    is_first = te == 0
+                    conv_now = (is_first & (jnp.abs(decay) < w(_CONV))
+                                & ~ls_done)
+                    approx = -(alpha * alpha * dV1 + alpha * dV2)
+                    ratio = jnp.where(approx != 0, decay / approx,
+                                      f32(jnp.inf))
+                    # (te < n_alphas) masks the dummy trailing alphas of the
+                    # last chunk (n_alphas is not a CW multiple)
+                    acc_now = ((te < n_alphas) & (~conv_now) & ~ls_done
+                               & (decay > 0)
+                               & ((approx < 0) | (ratio > w(_ACCEPT))))
+                    BUA = jnp.where(acc_now, NUA, BUA)
+                    BUS = jnp.where(acc_now, NUS, BUS)
+                    BPX = jnp.where(acc_now, NPX, BPX)
+                    BPY = jnp.where(acc_now, NPY, BPY)
+                    BPV = jnp.where(acc_now, NPV, BPV)
+                    BPH = jnp.where(acc_now, NPH, BPH)
+                    BRX = jnp.where(acc_now, TRX, BRX)
+                    BRY = jnp.where(acc_now, TRY, BRY)
+                    BRH = jnp.where(acc_now, TRH, BRH)
+                    small = small | (acc_now & ~is_first)
+                    ls_done = ls_done | conv_now | acc_now
+                    acc = acc | acc_now
+                    convf = convf | conv_now
+                return (t + 1, ls_done.astype(f32), acc.astype(f32),
+                        convf.astype(f32), small.astype(f32), j_hit,
+                        BUA, BUS, BPX, BPY, BPV, BPH, BRX, BRY, BRH)
+
             fz = lane0  # lane-anchored 0.0 row (False as f32)
             ls0 = (jnp.asarray(0, jnp.int32),
                    (bp_fail | ~active).astype(f32), fz, fz, fz, fz,
                    UA, US, PX, PY, PV, PH, RKX, RKY, RKH)
             (_, _, ls_acc_f, ls_conv_f, ls_small_f, ls_probe,
              BUA, BUS, BPX, BPY, BPV, BPH, BRX, BRY, BRH) = lax.while_loop(
-                ls_cond, ls_body, ls0)
+                ls_cond_p if ls_chunk else ls_cond,
+                ls_body_p if ls_chunk else ls_body, ls0)
             if _PROBE:
                 probe_acc = probe_acc + ls_probe
                 if probe_add is not None:
@@ -997,14 +1128,14 @@ _PROJ_SLACK = 48  # extra window rows (4.8 m) above the per-step search bound
     jax.jit,
     static_argnames=("cfg", "window", "interpret", "straggler_cap",
                      "proj_rows_per_step", "groups", "return_alm",
-                     "w_back"),
+                     "w_back", "ls_chunk"),
 )
 def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
                        window: int = 512, interpret: bool = False,
                        u_init=None, straggler_cap: int = 0,
                        proj_rows_per_step: int = 0, groups: int = 1,
                        alm_mu0=None, alm_rho0=None, return_alm: bool = False,
-                       w_back: int = W_BACK):
+                       w_back: int = W_BACK, ls_chunk: int | None = None):
     """Batched CILQR solve via the fused kernel.
 
     Args mirror :func:`ilqr_tpu.solvers.cilqr.solve_batch`. x0_b: (B, 4);
@@ -1067,11 +1198,21 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     from groups=1 in f32 rounding, so per-row iteration paths can diverge
     near accept thresholds while solution statistics agree (the same
     criteria as TPU-vs-CPU validation, tools/validate_kernel_tpu.py).
+
+    ``ls_chunk``: chunked line search width (see ``_build_kernel``) --
+    bitwise-identical results to the serial loop, fewer trial-rollout
+    chains per solver iteration. None resolves to the ILQR_LS_CHUNK env
+    var at G=1; forced to the serial loop (0) at G>1 and under the perf
+    probes (which instrument the serial loop's body).
     """
     N, M = cfg.N, max(cfg.num_obstacles, 1)
     assert N + 1 <= NH
     G = groups
     assert not (_PROBE and G > 1), "perf probes are groups=1 only"
+    if ls_chunk is None:
+        ls_chunk = int(_os.environ.get("ILQR_LS_CHUNK", "0"))
+    if G > 1 or _PROBE:
+        ls_chunk = 0
     f32 = jnp.float32
     x0_b = jnp.asarray(x0_b, f32)
     B = x0_b.shape[0]
@@ -1205,7 +1346,7 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         # args arrive scenario-major; the kernel sees them group-interleaved
         kernel = _build_kernel(N, M, W, max_iter_k, n_alphas, rear, alm,
                                resume=resume_rows is not None, it0=it0_k,
-                               row_limits=row_limits, G=G)
+                               row_limits=row_limits, G=G, ls_chunk=ls_chunk)
         in_specs = [
             pl.BlockSpec((_NWTS, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             bspec(8 * G), bspec(2 * NH * G), bspec(W * G), bspec(W * G),

@@ -375,6 +375,47 @@ def test_kernel_straggler_multiphase_bitwise_exact(small_problem):
     np.testing.assert_array_equal(np.asarray(st1.status), np.asarray(st3.status))
 
 
+@pytest.mark.parametrize("chunk", [8, 3])
+def test_kernel_chunked_line_search_bitwise_exact(small_problem, chunk):
+    """Chunked packed-alpha line search (ls_chunk) vs the serial early-exit
+    loop: one packed (chunk, 128) rollout chain per chunk, but projection/
+    cost/accept logic replay the serial code per alpha on extracted
+    sublanes, and alphas are exact powers of two -- results must be
+    bitwise identical. chunk=8 exercises the dummy trailing alphas of the
+    last chunk (20 alphas pad to 24); chunk=3 an uneven width."""
+    cfg, w, x0_b, scen_b = small_problem
+    u1, x1, st1 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                     interpret=True, ls_chunk=0)
+    u2, x2, st2 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                     interpret=True, ls_chunk=chunk)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(st1.iters), np.asarray(st2.iters))
+    np.testing.assert_array_equal(np.asarray(st1.status), np.asarray(st2.status))
+    np.testing.assert_array_equal(np.asarray(st1.final_cost),
+                                  np.asarray(st2.final_cost))
+
+
+def test_kernel_chunked_line_search_alm_compaction_bitwise(small_problem):
+    """ls_chunk composes with ALM duals + straggler compaction (the
+    production configuration) bitwise."""
+    cfg, w, x0_b, scen_b = small_problem
+    cfg_alm = dataclasses.replace(cfg, solve_type="alm")
+    u1, x1, st1, (mu1, rho1) = cilqr_solve_pallas(
+        cfg_alm, w, x0_b, scen_b, window=256, interpret=True,
+        straggler_cap=3, return_alm=True, ls_chunk=0)
+    u2, x2, st2, (mu2, rho2) = cilqr_solve_pallas(
+        cfg_alm, w, x0_b, scen_b, window=256, interpret=True,
+        straggler_cap=3, return_alm=True, ls_chunk=8)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(st1.iters), np.asarray(st2.iters))
+    np.testing.assert_array_equal(np.asarray(st1.status),
+                                  np.asarray(st2.status))
+    np.testing.assert_array_equal(np.asarray(mu1), np.asarray(mu2))
+    np.testing.assert_array_equal(np.asarray(rho1), np.asarray(rho2))
+
+
 def test_kernel_projection_bound_generous_is_exact(small_problem):
     """A generous per-step search bound never binds, so results must be
     bitwise identical to the full-window scan."""
