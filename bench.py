@@ -35,15 +35,20 @@ import jax.numpy as jnp
 
 
 def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
-    """BENCH_MODE=mpc: batched receding-horizon episodes in one compiled
-    program (run_mpc_kernel_scan) -- the reference's own workload shape
-    (120-150 MPC solves per scenario, src/motion_planning.cpp:180-270).
-    Counts batch*ticks full 30-step solves per episode run. Measured at
-    51.2k solves/s (54.0k warm) on one v5e chip at batch 8192 with the
-    verified unrolled driver and the multi-phase straggler schedule
-    (docs/PERFORMANCE.md "MPC episodes")."""
+    """BENCH_MODE=mpc: batched receding-horizon episodes -- the reference's
+    own workload shape (120-150 MPC solves per scenario,
+    src/motion_planning.cpp:180-270). Counts batch*ticks full 30-step
+    solves per episode run.
+
+    ticks <= 20 runs the single-program unrolled driver
+    (run_mpc_kernel_scan); longer episodes use the chunked driver
+    (run_mpc_kernel_chunked: one compiled 10-tick chunk program dispatched
+    repeatedly with device-resident carries -- tick-for-tick identical to
+    the host loop, tests/test_pallas_kernel.py), which is how the
+    reference-length 120-tick episode measures 117.8k solves/s on one v5e
+    chip at batch 8192 (docs/PERFORMANCE.md "Reference-length episodes")."""
     from ilqr_tpu.config import GlobalConfig
-    from ilqr_tpu.sim.mpc import run_mpc_kernel_scan
+    from ilqr_tpu.sim.mpc import run_mpc_kernel_chunked, run_mpc_kernel_scan
     from ilqr_tpu.sim.scenario import build_scenario_setup, perturbed_initial_states
     from ilqr_tpu.types import CILQRConfig, CILQRWeights
 
@@ -89,6 +94,10 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
     obs_b = jnp.stack([obs_full] * B)
     n_dev = len(jax.devices())
     if n_dev > 1:
+        assert ticks <= 20, \
+            "mesh MPC bench uses the unrolled scan driver (<=20 ticks); " \
+            "run reference-length episodes single-device (BENCH_TICKS<=20 " \
+            "here)"
         from functools import partial
 
         from jax.sharding import PartitionSpec as P
@@ -118,6 +127,19 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
         def run():
             ego, us, iters = _ep(w_d, *args_d)
             return iters, jnp.mean(ego[-1, :, 0])
+    elif ticks > 20:
+        # reference-length episodes: the unrolled single program cannot
+        # compile at 120 ticks (remote-compile budget, docs/PERFORMANCE.md);
+        # the chunked driver is bitwise-equal to the host loop
+        chunk = int(os.environ.get("BENCH_CHUNK", "10"))
+
+        def run():
+            ego, us, stats = run_mpc_kernel_chunked(
+                cfg, w, x0_b, ref_b, rv_b, obs_b, rb_b, ticks=ticks,
+                chunk=chunk, window=window, straggler_cap=cap,
+                straggler_cap_warm=capw, proj_rows_per_step=proj_rows,
+                interpret=interpret)
+            return stats.iters, jnp.mean(ego[-1, :, 0])
     else:
         def run():
             ego, us, stats = run_mpc_kernel_scan(

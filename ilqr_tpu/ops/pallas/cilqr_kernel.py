@@ -1391,8 +1391,6 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         outs = tuple(_unilv(o) for o in outs)
         return outs if alm else outs + (None,)
 
-    import os as _os
-
     caps = (straggler_cap if isinstance(straggler_cap, tuple)
             else ((straggler_cap,) if straggler_cap else ()))
     caps = tuple(c for c in caps if 0 < c < cfg.max_iter)
