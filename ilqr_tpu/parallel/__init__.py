@@ -3,6 +3,7 @@ from ilqr_tpu.parallel.sharding import (
     shard_batch,
     sharded_solve_fn,
     sharded_kernel_solve_fn,
+    run_mpc_chunked_sharded,
     aggregate_stats,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "shard_batch",
     "sharded_solve_fn",
     "sharded_kernel_solve_fn",
+    "run_mpc_chunked_sharded",
     "aggregate_stats",
 ]

@@ -143,6 +143,89 @@ def sharded_kernel_solve_fn(mesh: Mesh, cfg: CILQRConfig, *,
     return jax.jit(_sharded)
 
 
+def run_mpc_chunked_sharded(mesh: Mesh, cfg: CILQRConfig, w, x0_b,
+                            ref_line_b, ref_velo_b, obs_full_b,
+                            road_borders_b, *, ticks: int, chunk: int = 10,
+                            window: int = 512,
+                            straggler_cap=0, proj_rows_per_step: int = 0,
+                            interpret: bool = False,
+                            straggler_cap_warm=None,
+                            axis_name: str = DATA_AXIS):
+    """Reference-length MPC episodes, batch row-partitioned over the mesh.
+
+    The mesh analogue of :func:`ilqr_tpu.sim.mpc.run_mpc_kernel_chunked`
+    (same contract and tick-for-tick results, tests/test_sharding.py): ONE
+    compiled, shard_mapped chunk program -- ``chunk`` straight-line ticks
+    of the fused kernel per shard, traced tick offset -- is dispatched
+    ceil(ticks/chunk) times with the cross-tick carry (ego, shifted-u warm
+    start, ALM duals) staying device-resident and row-partitioned between
+    calls. Episodes are embarrassingly parallel, so the hot path has zero
+    cross-device traffic; scaling is linear in mesh size like
+    :func:`sharded_kernel_solve_fn`.
+    """
+    from ilqr_tpu.sim.mpc import run_mpc_kernel_scan
+
+    assert ticks % chunk == 0, "ticks must be a multiple of chunk"
+    x0_b = jnp.asarray(x0_b, jnp.float32)
+    B, N = x0_b.shape[0], cfg.N
+    C0 = 8 + 2 * cfg.num_obstacles
+
+    def make_chunk_fn(cold_first_tick: bool):
+        episode = partial(
+            run_mpc_kernel_scan, cfg, ticks=chunk, window=window,
+            interpret=interpret, straggler_cap=straggler_cap,
+            straggler_cap_warm=straggler_cap_warm,
+            proj_rows_per_step=proj_rows_per_step, with_carry=True,
+            cold_first_tick=cold_first_tick)
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name), P(axis_name),
+                      P(axis_name), P(axis_name), P(),
+                      (P(axis_name), P(axis_name), P(axis_name))),
+            out_specs=(P(None, axis_name), P(None, axis_name),
+                       P(None, axis_name),
+                       (P(axis_name), P(axis_name), P(axis_name))),
+            check_vma=False,
+        )
+        def _chunk(w_, ego, rl, rv, ob, rb, t0, carry):
+            return episode(w_, ego, rl, rv, ob, rb, t0=t0, carry_in=carry)
+
+        return jax.jit(_chunk)
+
+    # at most 2 compiled chunk programs (cold-start chunk 0 + warm
+    # continuations), exactly like the single-device chunked driver
+    fn_first = make_chunk_fn(True)
+    fn_rest = (fn_first if straggler_cap_warm is None
+               else make_chunk_fn(False))
+
+    w_d = replicate(mesh, w)
+    args_d = tuple(shard_batch(mesh, a, axis_name) for a in
+                   (ref_line_b, ref_velo_b, obs_full_b, road_borders_b))
+    ego = shard_batch(mesh, x0_b, axis_name)
+    carry = shard_batch(
+        mesh,
+        (jnp.zeros((B, N, 2), jnp.float32),
+         jnp.zeros((B, N, C0), jnp.float32),
+         jnp.broadcast_to(jnp.asarray(w.alm_rho_init, jnp.float32), (B,))),
+        axis_name)
+    egos, us, stats_hist = [], [], []
+    for c in range(ticks // chunk):
+        fn = fn_first if c == 0 else fn_rest
+        ego_c, us_c, stats_c, carry = fn(
+            w_d, ego, *args_d, jnp.asarray(c * chunk, jnp.int32), carry)
+        ego = ego_c[-1]
+        egos.append(ego_c[1:])
+        us.append(us_c)
+        stats_hist.append(stats_c)
+    ego_traj = jnp.concatenate([jnp.asarray(x0_b)[None]] + egos, axis=0)
+    u_hist = jnp.concatenate(us, axis=0)
+    stats = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                         *stats_hist)
+    return ego_traj, u_hist, stats
+
+
 def sharded_solve_fn(mesh: Mesh, cfg: CILQRConfig, axis_name: str = DATA_AXIS,
                      with_stats_psum: bool = True):
     """Build a jitted, mesh-sharded batched solve.

@@ -154,3 +154,42 @@ def test_output_shardings_stay_row_partitioned(problem):
     shards = u_sh.addressable_shards
     assert len(shards) == 8
     assert shards[0].data.shape[0] == x0_b.shape[0] // 8
+
+
+def test_sharded_chunked_episode_matches_single_device():
+    """run_mpc_chunked_sharded over the 8-device mesh equals the
+    single-device chunked driver tick-for-tick bitwise (warm start + ALM
+    duals carried across chunk boundaries, batch row-partitioned)."""
+    import dataclasses
+
+    from ilqr_tpu.parallel import run_mpc_chunked_sharded
+    from ilqr_tpu.sim.mpc import run_mpc_kernel_chunked
+
+    gc = GlobalConfig.from_file(
+        os.path.join(CONFIG_DIR, "scenario_two_straight.yaml"))
+    st = build_scenario_setup(gc)
+    cfg = dataclasses.replace(CILQRConfig.from_global_config(gc, max_iter=6),
+                              N=6, solve_type="alm", use_last_solution=True)
+    w = CILQRWeights.from_global_config(gc, dtype=jnp.float32)
+    scenario = st.device_scenario(tick=0, horizon=cfg.N, dtype=jnp.float32)
+    B, ticks, chunk = 16, 4, 2
+    x0_b = jnp.asarray(perturbed_initial_states(st.ego_x0, B, seed=0),
+                       jnp.float32)
+    obs_full = jnp.asarray(st.obs_preds_array(), jnp.float32)
+    args = (jnp.stack([scenario.ref_line] * B),
+            jnp.stack([jnp.asarray(scenario.ref_velo, jnp.float32)] * B),
+            jnp.stack([obs_full[:, :ticks + cfg.N + 1]] * B),
+            jnp.stack([scenario.road_borders] * B))
+    kw = dict(ticks=ticks, chunk=chunk, window=64, interpret=True,
+              straggler_cap=2, straggler_cap_warm=3)
+
+    mesh = make_mesh(8)
+    ego_s, us_s, st_s = run_mpc_chunked_sharded(
+        mesh, cfg, w, x0_b, *args, **kw)
+    ego_1, us_1, st_1 = run_mpc_kernel_chunked(cfg, w, x0_b, *args, **kw)
+    np.testing.assert_array_equal(np.asarray(ego_s), np.asarray(ego_1))
+    np.testing.assert_array_equal(np.asarray(us_s), np.asarray(us_1))
+    np.testing.assert_array_equal(np.asarray(st_s.iters),
+                                  np.asarray(st_1.iters))
+    np.testing.assert_array_equal(np.asarray(st_s.status),
+                                  np.asarray(st_1.status))
