@@ -1210,7 +1210,10 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     G = groups
     assert not (_PROBE and G > 1), "perf probes are groups=1 only"
     if ls_chunk is None:
-        ls_chunk = int(_os.environ.get("ILQR_LS_CHUNK", "0"))
+        # width 4 measured best: +13% cold solves, +15% 10-tick warm MPC,
+        # noise-neutral on 120-tick episodes; width 8 loses 4-5% (docs/
+        # PERFORMANCE.md "Chunked packed-alpha line search")
+        ls_chunk = int(_os.environ.get("ILQR_LS_CHUNK", "4"))
     if G > 1 or _PROBE:
         ls_chunk = 0
     f32 = jnp.float32
