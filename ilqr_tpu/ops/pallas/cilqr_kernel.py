@@ -1210,10 +1210,15 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     G = groups
     assert not (_PROBE and G > 1), "perf probes are groups=1 only"
     if ls_chunk is None:
-        # width 4 measured best: +13% cold solves, +15% 10-tick warm MPC,
-        # noise-neutral on 120-tick episodes; width 8 loses 4-5% (docs/
-        # PERFORMANCE.md "Chunked packed-alpha line search")
-        ls_chunk = int(_os.environ.get("ILQR_LS_CHUNK", "4"))
+        # width 4 measured best on hardware: +13% cold solves, +15%
+        # 10-tick warm MPC, noise-neutral on 120-tick episodes; width 8
+        # loses 4-5% (docs/PERFORMANCE.md "Chunked packed-alpha line
+        # search"). Interpret mode (the CPU test vehicle) defaults to the
+        # serial loop: the packed while-body is ~4x larger and XLA:CPU's
+        # compile of the sharded ALM interpret variant segfaults on it;
+        # explicit ls_chunk (tests) is still honored.
+        default = "0" if interpret else "4"
+        ls_chunk = int(_os.environ.get("ILQR_LS_CHUNK", default))
     if G > 1 or _PROBE:
         ls_chunk = 0
     f32 = jnp.float32
