@@ -26,8 +26,12 @@ Layout (TPU-native, structure-of-slabs):
   in the tile is done (converged / lambda overflow -- reference
   src/cilqr_solver.cpp:110-142).
 
-Semantics match the reference C++ solver in barrier mode (the mode of all
-four shipped scenarios); warm starting and ALM stay on the XLA path.
+Semantics match the reference C++ solver in both constraint modes:
+barrier (the mode of all four shipped scenarios) and ALM, whose dual
+state (mu, rho) is kernel I/O since round 2 (``alm_mu0``/``alm_rho0`` in
+:func:`cilqr_solve_pallas`, ``return_alm`` to carry duals across MPC
+ticks). Warm starting is kernel I/O too: pass ``u_init`` (the shifted
+previous solution, reference src/cilqr_solver.cpp:163-180).
 """
 
 from __future__ import annotations
@@ -123,7 +127,10 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
     Projection, cost, and the accept/converge updates run per alpha
     through the SAME code as the serial loop on sublane-extracted rows,
     and alphas are exact powers of two, so results are bitwise-identical
-    to ls_chunk=0. 0 = the serial early-exit loop.
+    to ls_chunk=0 -- modulo sign of zero: the masked-sum sublane
+    extraction (``_sub``) maps -0.0 to +0.0, which no downstream
+    comparison distinguishes (round-3 advisor note; the equality tests
+    use array_equal, where -0.0 == +0.0). 0 = the serial early-exit loop.
     """
     f32 = jnp.float32
     C = 8 + 2 * M  # constraint columns (ALM dual layout)
@@ -1124,12 +1131,6 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
 _PROJ_SLACK = 48  # extra window rows (4.8 m) above the per-step search bound
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "window", "interpret", "straggler_cap",
-                     "proj_rows_per_step", "groups", "return_alm",
-                     "w_back", "ls_chunk"),
-)
 def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
                        window: int = 512, interpret: bool = False,
                        u_init=None, straggler_cap: int = 0,
@@ -1205,10 +1206,6 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     var at G=1; forced to the serial loop (0) at G>1 and under the perf
     probes (which instrument the serial loop's body).
     """
-    N, M = cfg.N, max(cfg.num_obstacles, 1)
-    assert N + 1 <= NH
-    G = groups
-    assert not (_PROBE and G > 1), "perf probes are groups=1 only"
     if ls_chunk is None:
         # width 4 measured best on hardware: +13% cold solves, +15%
         # 10-tick warm MPC, noise-neutral on 120-tick episodes; width 8
@@ -1216,11 +1213,40 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         # search"). Interpret mode (the CPU test vehicle) defaults to the
         # serial loop: the packed while-body is ~4x larger and XLA:CPU's
         # compile of the sharded ALM interpret variant segfaults on it;
-        # explicit ls_chunk (tests) is still honored.
+        # explicit ls_chunk (tests) is still honored. Resolved HERE, in
+        # the non-jitted wrapper, so the effective width is always part
+        # of the jit cache key -- changing ILQR_LS_CHUNK mid-process
+        # takes effect instead of being baked in at first trace
+        # (round-3 advisor finding).
         default = "0" if interpret else "4"
         ls_chunk = int(_os.environ.get("ILQR_LS_CHUNK", default))
-    if G > 1 or _PROBE:
+    if groups > 1 or _PROBE:
         ls_chunk = 0
+    return _cilqr_solve_pallas_jit(
+        cfg, w, x0_b, scenario_b, window=window, interpret=interpret,
+        u_init=u_init, straggler_cap=straggler_cap,
+        proj_rows_per_step=proj_rows_per_step, groups=groups,
+        alm_mu0=alm_mu0, alm_rho0=alm_rho0, return_alm=return_alm,
+        w_back=w_back, ls_chunk=ls_chunk)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "window", "interpret", "straggler_cap",
+                     "proj_rows_per_step", "groups", "return_alm",
+                     "w_back", "ls_chunk"),
+)
+def _cilqr_solve_pallas_jit(cfg: CILQRConfig, w: CILQRWeights, x0_b,
+                            scenario_b, window: int, interpret: bool,
+                            u_init, straggler_cap, proj_rows_per_step: int,
+                            groups: int, alm_mu0, alm_rho0,
+                            return_alm: bool, w_back: int, ls_chunk: int):
+    """Jitted body of :func:`cilqr_solve_pallas` (ls_chunk already
+    resolved to an int by the wrapper)."""
+    N, M = cfg.N, max(cfg.num_obstacles, 1)
+    assert N + 1 <= NH
+    G = groups
+    assert not (_PROBE and G > 1), "perf probes are groups=1 only"
     f32 = jnp.float32
     x0_b = jnp.asarray(x0_b, f32)
     B = x0_b.shape[0]

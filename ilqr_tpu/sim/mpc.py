@@ -303,7 +303,9 @@ def run_mpc_kernel_chunked(cfg: CILQRConfig, w: CILQRWeights, x0_b,
     carry (ego, shifted-u warm start, ALM duals) staying device-resident
     between calls. Host cost is one dispatch per chunk instead of per
     tick; results are tick-for-tick identical to :func:`run_mpc_kernel`
-    (tested bitwise in tests/test_mpc_drivers.py).
+    (tested bitwise in tests/test_pallas_kernel.py::
+    test_kernel_episode_chunked_matches_scan and on hardware in
+    tools/results/chunked_check_tpu.log).
 
     ``ticks`` must be a multiple of ``chunk`` (pad the episode or pick a
     divisor; the shipped scenarios' 120/150 ticks both divide by 10).

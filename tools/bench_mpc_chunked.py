@@ -117,7 +117,7 @@ def main():
               f"max|ego diff|={np.abs(ego_c - ego_h).max():.3g}")
         print(f"ego x per tick (chunked): "
               f"{np.diff(ego_c[:, :, 0].mean(axis=1))[:5].round(3)}...")
-        print(f"{'PASS' if ok else 'FAIL'} chunked-vs-host 20-tick bitwise "
+        print(f"{'PASS' if ok else 'FAIL'} chunked-vs-host {ticks}-tick bitwise "
               f"(t_chunked={t_c:.1f}s t_host={t_h:.1f}s incl compile)",
               flush=True)
         sys.exit(0 if ok else 1)

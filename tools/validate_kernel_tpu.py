@@ -34,7 +34,7 @@ SCENARIOS = [
 
 
 def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
-            groups: int = 1, w_back: int = 64) -> bool:
+            groups: int = 1, w_back: int = 64, cap=(), dump: str = "") -> bool:
     from ilqr_tpu.config import GlobalConfig
     from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
     from ilqr_tpu.sim.scenario import build_scenario_setup, perturbed_initial_states
@@ -58,7 +58,8 @@ def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
                                 * float(gc["delta_t"]) / 0.1))
     u_k, x_k, st_k = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=window,
                                         proj_rows_per_step=proj_rows,
-                                        groups=groups, w_back=w_back)
+                                        groups=groups, w_back=w_back,
+                                        straggler_cap=cap)
     u_k, x_k = np.asarray(u_k), np.asarray(x_k)
     it_k = np.asarray(st_k.iters)
     stat_k = np.asarray(st_k.status)
@@ -122,6 +123,13 @@ def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
     # by >> band (e.g. window 256: 0.27 vs 0.70) or blows the cost bound.
     conv_band = 0.05 if name == "scenario_three_bend" else 0.02
     ok = cost_p90 < 1e-3 and pos_p90 < 5e-2 and conv_gap <= conv_band
+    if dump:
+        os.makedirs(dump, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(dump, f"val_{name}.npz"),
+            u_k=u_k, x_k=x_k, it_k=it_k, stat_k=stat_k, conv_k=conv_k,
+            cost_k=cost_k, u_r=u_r, x_r=x_r, it_r=it_r, stat_r=stat_r,
+            conv_r=conv_r, cost_r=cost_r, batch=batch, seed=0)
     print(
         f"{'PASS' if ok else 'FAIL'} {name}: iters_match={iters_match:.3f} "
         f"status_match={status_match:.3f} conv_k={np.mean(conv_k):.3f} "
@@ -144,6 +152,14 @@ def main():
                     help="scenario groups per kernel tile (1 or 8)")
     ap.add_argument("--w-back", type=int, default=64,
                     help="window rows behind the initial projection")
+    ap.add_argument("--cap", default="8,16,32",
+                    help="straggler-cap schedule for the kernel (the "
+                    "production default; bitwise-identical to 0 by "
+                    "construction -- tools/results/g1_resume_tpu.log). "
+                    "'0' disables.")
+    ap.add_argument("--dump", default="",
+                    help="directory to write per-scenario npz dumps of "
+                    "per-row results (for the row-level autopsy tools)")
     ap.add_argument("--canary", action="store_true",
                     help="first run tools/xla_canary.py (the known-"
                     "miscompile-family check); FAIL validation if the "
@@ -160,9 +176,12 @@ def main():
         print(f"{'PASS' if rc == 0 else 'FAIL'} xla_canary (rc={rc})",
               flush=True)
         ok = rc == 0
+    cap_s = str(args.cap)
+    cap = (tuple(int(c) for c in cap_s.split(",") if c) if "," in cap_s
+           else (int(cap_s),) if int(cap_s) else ())
     for n in names:
         ok = run_one(n, args.batch, args.window, args.proj_rows,
-                     args.groups, args.w_back) and ok
+                     args.groups, args.w_back, cap, args.dump) and ok
     sys.exit(0 if ok else 1)
 
 
