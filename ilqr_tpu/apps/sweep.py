@@ -28,8 +28,14 @@ log = logging.getLogger("ilqr_tpu.sweep")
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="batched CILQR scenario sweep")
     parser.add_argument("-c", "--config", required=True)
-    parser.add_argument("--batch", type=int, default=1024,
-                        help="scenarios per solver step")
+    parser.add_argument("--batch", type=int, default=8192,
+                        help="scenarios per solver step (8192 measured "
+                        "best on one v5e chip: per-dispatch overhead -- "
+                        "relay round trip + per-compaction-phase fixed "
+                        "cost -- amortizes with batch; steady-state 25.0k/"
+                        "32.9k/39.8k solves/s at 2048/4096/8192, the last "
+                        "within 2%% of the cold bench at the same batch -- "
+                        "docs/PERFORMANCE.md 'Sweep throughput')")
     parser.add_argument("--steps", type=int, default=4,
                         help="number of batched solve steps")
     parser.add_argument("--engine", choices=("kernel", "xla", "auto"),

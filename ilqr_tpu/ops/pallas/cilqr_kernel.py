@@ -80,7 +80,8 @@ def _alpha_count(min_alpha: float) -> int:
 def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                   rear_center: bool, use_alm: bool,
                   resume: bool = False, it0: int = 0,
-                  row_limits=None, G: int = 1, ls_chunk: int = 0):
+                  row_limits=None, G: int = 1, ls_chunk: int = 0,
+                  proj_dot: bool = False):
     """Returns the kernel body function (closed over static shapes).
 
     In ALM mode the per-constraint dual state (mu slabs, one per constraint
@@ -131,12 +132,24 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
     extraction (``_sub``) maps -0.0 to +0.0, which no downstream
     comparison distinguishes (round-3 advisor note; the equality tests
     use array_equal, where -0.0 == +0.0). 0 = the serial early-exit loop.
+
+    ``proj_dot`` (G=1 only): score the nearest-point search with the
+    expanded dot form ``c_r - 2 (rx x + ry y)`` (c_r = rx^2 + ry^2 and
+    the -2-scaled window slabs hoisted once per solve) instead of the
+    squared distance ``(x-rx)^2 + (y-ry)^2`` -- 2 FMAs per window row
+    instead of 5 ops, on the largest single term of kernel time (trial
+    projections, ~29% -- docs/PERFORMANCE.md "Where the kernel time
+    goes"). The two forms share the same exact-arithmetic argmin but
+    round differently in f32, so near-ties can pick different window
+    rows; like groups=8 this mode matches the default statistically
+    (validated per-scenario on hardware), not bitwise.
     """
     f32 = jnp.float32
     C = 8 + 2 * M  # constraint columns (ALM dual layout)
     NHG = NH * G
     assert G == 1 or G == 8, "G must be 1 (replicated rows) or 8 (vreg rows)"
     assert ls_chunk == 0 or G == 1, "chunked line search is G=1 only"
+    assert not (proj_dot and G > 1), "proj_dot is G=1 only"
 
     def kernel(*refs):
         (wts_ref, x0_ref, uinit_ref, rx_ref, ry_ref, ryaw_ref,
@@ -239,6 +252,12 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
         widx = lax.broadcasted_iota(jnp.int32, (W * G, LANES), 0)
         if G > 1:
             widx = widx // G  # window-sample index per interleaved row
+        if proj_dot:
+            # hoisted once per solve (loop-invariant): nearest-point score
+            # c_r - 2(rx x + ry y); see the docstring's proj_dot section
+            p_cr = rx * rx + ry * ry
+            p_nx = -2.0 * rx
+            p_ny = -2.0 * ry
         OX = ox_ref[:, :]  # (M * NHG, 128)
         OY = oy_ref[:, :]
         OTH = oyaw_ref[:, :]
@@ -339,9 +358,12 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                     khs.append(vals[3])
                     continue
                 rxk, ryk, rhk, wk = rx[:R], ry[:R], ryaw[:R], widx[:R]
-                dx = rxk - pxr[k]
-                dy = ryk - pyr[k]
-                d2 = dx * dx + dy * dy
+                if proj_dot:
+                    d2 = p_cr[:R] + p_nx[:R] * pxr[k] + p_ny[:R] * pyr[k]
+                else:
+                    dx = rxk - pxr[k]
+                    dy = ryk - pyr[k]
+                    d2 = dx * dx + dy * dy
                 m = jnp.min(d2, axis=0, keepdims=True)
                 sel = jnp.where(d2 <= m, wk, jnp.int32(2**30))
                 i0 = jnp.min(sel, axis=0, keepdims=True)
@@ -1136,7 +1158,8 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
                        u_init=None, straggler_cap: int = 0,
                        proj_rows_per_step: int = 0, groups: int = 1,
                        alm_mu0=None, alm_rho0=None, return_alm: bool = False,
-                       w_back: int = W_BACK, ls_chunk: int | None = None):
+                       w_back: int = W_BACK, ls_chunk: int | None = None,
+                       proj_dot: bool | None = None):
     """Batched CILQR solve via the fused kernel.
 
     Args mirror :func:`ilqr_tpu.solvers.cilqr.solve_batch`. x0_b: (B, 4);
@@ -1205,7 +1228,16 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     chains per solver iteration. None resolves to the ILQR_LS_CHUNK env
     var at G=1; forced to the serial loop (0) at G>1 and under the perf
     probes (which instrument the serial loop's body).
+
+    ``proj_dot``: dot-form nearest-point scoring (see ``_build_kernel``)
+    -- statistically equivalent, not bitwise (f32 argmin near-ties can
+    resolve differently). None resolves to the ILQR_PROJ_DOT env var
+    (default off); forced off at G>1.
     """
+    if proj_dot is None:
+        proj_dot = _os.environ.get("ILQR_PROJ_DOT", "0") == "1"
+    if groups > 1:
+        proj_dot = False
     if ls_chunk is None:
         # width 4 measured best on hardware: +13% cold solves, +15%
         # 10-tick warm MPC, noise-neutral on 120-tick episodes; width 8
@@ -1227,20 +1259,21 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         u_init=u_init, straggler_cap=straggler_cap,
         proj_rows_per_step=proj_rows_per_step, groups=groups,
         alm_mu0=alm_mu0, alm_rho0=alm_rho0, return_alm=return_alm,
-        w_back=w_back, ls_chunk=ls_chunk)
+        w_back=w_back, ls_chunk=ls_chunk, proj_dot=proj_dot)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "window", "interpret", "straggler_cap",
                      "proj_rows_per_step", "groups", "return_alm",
-                     "w_back", "ls_chunk"),
+                     "w_back", "ls_chunk", "proj_dot"),
 )
 def _cilqr_solve_pallas_jit(cfg: CILQRConfig, w: CILQRWeights, x0_b,
                             scenario_b, window: int, interpret: bool,
                             u_init, straggler_cap, proj_rows_per_step: int,
                             groups: int, alm_mu0, alm_rho0,
-                            return_alm: bool, w_back: int, ls_chunk: int):
+                            return_alm: bool, w_back: int, ls_chunk: int,
+                            proj_dot: bool):
     """Jitted body of :func:`cilqr_solve_pallas` (ls_chunk already
     resolved to an int by the wrapper)."""
     N, M = cfg.N, max(cfg.num_obstacles, 1)
@@ -1380,7 +1413,8 @@ def _cilqr_solve_pallas_jit(cfg: CILQRConfig, w: CILQRWeights, x0_b,
         # args arrive scenario-major; the kernel sees them group-interleaved
         kernel = _build_kernel(N, M, W, max_iter_k, n_alphas, rear, alm,
                                resume=resume_rows is not None, it0=it0_k,
-                               row_limits=row_limits, G=G, ls_chunk=ls_chunk)
+                               row_limits=row_limits, G=G, ls_chunk=ls_chunk,
+                               proj_dot=proj_dot)
         in_specs = [
             pl.BlockSpec((_NWTS, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             bspec(8 * G), bspec(2 * NH * G), bspec(W * G), bspec(W * G),

@@ -416,6 +416,25 @@ def test_kernel_chunked_line_search_alm_compaction_bitwise(small_problem):
     np.testing.assert_array_equal(np.asarray(rho1), np.asarray(rho2))
 
 
+def test_kernel_proj_dot_statistical(small_problem):
+    """Dot-form nearest-point scoring (proj_dot) vs the squared-distance
+    default: identical exact-arithmetic argmin, different f32 rounding,
+    so the criterion is solution agreement (the validate_kernel_tpu
+    criteria at test scale), not bitwise equality. On this small problem
+    no window near-tie flips, so statuses should agree exactly and
+    trajectories to f32 path tolerance."""
+    cfg, w, x0_b, scen_b = small_problem
+    u1, x1, st1 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                     interpret=True, proj_dot=False)
+    u2, x2, st2 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                     interpret=True, proj_dot=True)
+    np.testing.assert_array_equal(np.asarray(st1.status),
+                                  np.asarray(st2.status))
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st1.final_cost),
+                               np.asarray(st2.final_cost), rtol=1e-3)
+
+
 def test_kernel_projection_bound_generous_is_exact(small_problem):
     """A generous per-step search bound never binds, so results must be
     bitwise identical to the full-window scan."""

@@ -15,16 +15,23 @@ mean iterations, and status histogram -- the exact-arithmetic anchor
 both f32 implementations should straddle.
 
 Phase B (--npz <dump from validate_kernel_tpu.py --dump>): for samples
-of status-mismatched and status-matched rows, solve a fan of f64
-problems whose x0 is perturbed at float32 round-off magnitude
-(|x0| * 2^-23). A mismatch row is EXPLAINED if (a) the fan's exits are
+of status-mismatched and status-matched rows, solve fans of f64
+problems whose x0 is perturbed at escalating float32 round-off
+magnitudes (1, 64, 4096 ulp -- an f32 solve accumulates rounding across
+thousands of ops, so its effective perturbation of the iteration path is
+far above 1 ulp of x0; 4096 ulp ~ 5e-4 relative is still far below the
+0.02-0.5 physical perturbation scales of the bench batch). A mismatch
+row is EXPLAINED if any of: (a) the kernel's exit equals the f64 truth
+(the comparator flipped, not the kernel); (b) some fan level's exits are
 non-unanimous (the row sits on a decision boundary, so any f32-rounding
-difference between two correct implementations legitimately flips it),
-or (b) the kernel's exit equals the f64 truth (the XLA f32 path is the
-one that flipped). A row that is perturbation-ROBUST in f64 yet
-mismatched, with the kernel disagreeing with the truth, would be
-evidence of a real kernel defect. Also cross-checks final costs of
-kernel-converged rows against the f64 cost.
+difference between two correct implementations legitimately flips it);
+(c) another independent f32 build of the same semantics (XLA on CPU, or
+XLA on TPU) also exits differently from the truth on this row (the exit
+is f32-implementation-sensitive in both directions). A row that is
+perturbation-ROBUST at every level, where the kernel alone disagrees
+with the truth while both XLA builds match it, would be evidence of a
+real kernel defect. Also cross-checks final costs of kernel-converged
+rows against the f64 cost.
 
 Usage (CPU):
   env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python tools/bend_autopsy.py \
@@ -107,6 +114,7 @@ def main():
     _, _, st32, _ = f(cfg, w32, jnp.asarray(x0_b, jnp.float32), scen32, None)
     conv32 = np.asarray(st32.converged)
     it32 = np.asarray(st32.iters)
+    stat32 = np.asarray(st32.status)
     print(f"[A] f32 CPU XLA:        conv={conv32.mean():.3f} "
           f"mean_iters={it32.mean():.2f}", flush=True)
 
@@ -129,31 +137,48 @@ def main():
     samp_m = rng.choice(mism, min(args.rows, len(mism)), replace=False)
     samp_c = rng.choice(match, min(args.rows, len(match)), replace=False)
 
-    # Fan of f32-round-off perturbations per sampled row, solved in f64.
-    # Scale: one f32 ulp of each component (|x| * 2^-23), the magnitude by
-    # which any two correct f32 evaluations of the same quantity may differ.
+    # Fans of f32-round-off perturbations per sampled row, solved in f64,
+    # at escalating magnitudes: LEVELS[i] f32 ulps of each component
+    # (|x| * 2^-23 per ulp). Level 0 (1 ulp) is the floor any two correct
+    # f32 evaluations of one quantity may differ by; higher levels stand
+    # in for rounding accumulated across an entire f32 iteration path.
+    LEVELS = (1.0, 64.0, 4096.0)
     rows = np.concatenate([samp_m, samp_c])
     R, K = len(rows), args.fan
     base = x0_b[rows]  # (R, 4)
     ulp = np.abs(base) * 2.0 ** -23 + 1e-12
-    fan = base[:, None, :] + (rng.standard_normal((R, K, 4)) * ulp[:, None, :])
-    fan = np.concatenate([base[:, None, :], fan], axis=1)  # (R, K+1, 4)
-    scen_f = jax.tree.map(lambda a: jnp.stack([a[0]] * (R * (K + 1))), scen_b)
+    fans = [base[:, None, :]]
+    for lv in LEVELS:
+        fans.append(base[:, None, :]
+                    + rng.standard_normal((R, K, 4)) * (lv * ulp[:, None, :]))
+    fan = np.concatenate(fans, axis=1)  # (R, 1 + len(LEVELS)*K, 4)
+    F = fan.shape[1]
+    scen_f = jax.tree.map(lambda a: jnp.stack([a[0]] * (R * F)), scen_b)
     _, _, stf, _ = f(cfg, w64, jnp.asarray(fan.reshape(-1, 4)), scen_f, None)
-    statf = np.asarray(stf.status).reshape(R, K + 1)
-    costf = np.asarray(stf.final_cost).reshape(R, K + 1)
+    statf = np.asarray(stf.status).reshape(R, F)
+    costf = np.asarray(stf.final_cost).reshape(R, F)
 
     def classify(i, row):
         s_k, s_r, s_64 = int(stat_k[row]), int(stat_r[row]), statf[i, 0]
-        fan_s = statf[i]
-        boundary = len(np.unique(fan_s)) > 1
+        s_32 = int(stat32[row])
+        # lowest perturbation level whose fan (incl. the base point) is
+        # not unanimous; None = robust at every level
+        flip_level = None
+        for li in range(len(LEVELS)):
+            fan_s = statf[i, [0] + list(range(1 + li * K, 1 + (li + 1) * K))]
+            if len(np.unique(fan_s)) > 1:
+                flip_level = LEVELS[li]
+                break
         kernel_is_truth = s_k == s_64
+        others_flip = (s_r != s_64) or (s_32 != s_64)
         if s_k == s_r:
-            verdict = "robust" if not boundary else "boundary"
-        elif boundary:
-            verdict = "EXPLAINED(boundary)"
+            verdict = "boundary" if flip_level is not None else "robust"
         elif kernel_is_truth:
             verdict = "EXPLAINED(kernel=truth)"
+        elif flip_level is not None:
+            verdict = f"EXPLAINED(boundary@{flip_level:.0f}ulp)"
+        elif others_flip:
+            verdict = "EXPLAINED(f32-chaos)"
         else:
             verdict = "UNEXPLAINED"
         # cost comparability for kernel-converged rows: the kernel's f32
@@ -164,8 +189,9 @@ def main():
             cost_note = f" cost_rel_vs_f64={rel:.2e}"
         return (f"row {row:4d}: kernel={STATUS_NAMES[s_k]:10s}"
                 f"(it {it_k[row]:3d}) xla={STATUS_NAMES[s_r]:10s}"
-                f"(it {it_r[row]:3d}) f64={STATUS_NAMES[int(s_64)]:10s} "
-                f"fan={''.join(str(int(s)) for s in fan_s)} "
+                f"(it {it_r[row]:3d}) f32cpu={STATUS_NAMES[s_32]:10s} "
+                f"f64={STATUS_NAMES[int(s_64)]:10s} "
+                f"fan={''.join(str(int(s)) for s in statf[i])} "
                 f"{verdict}{cost_note}"), verdict
 
     n_expl = n_unex = 0

@@ -34,7 +34,8 @@ SCENARIOS = [
 
 
 def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
-            groups: int = 1, w_back: int = 64, cap=(), dump: str = "") -> bool:
+            groups: int = 1, w_back: int = 64, cap=(), dump: str = "",
+            proj_dot: bool = False) -> bool:
     from ilqr_tpu.config import GlobalConfig
     from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
     from ilqr_tpu.sim.scenario import build_scenario_setup, perturbed_initial_states
@@ -59,7 +60,7 @@ def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
     u_k, x_k, st_k = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=window,
                                         proj_rows_per_step=proj_rows,
                                         groups=groups, w_back=w_back,
-                                        straggler_cap=cap)
+                                        straggler_cap=cap, proj_dot=proj_dot)
     u_k, x_k = np.asarray(u_k), np.asarray(x_k)
     it_k = np.asarray(st_k.iters)
     stat_k = np.asarray(st_k.status)
@@ -104,6 +105,28 @@ def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
     pos_p90 = (float(np.percentile(np.abs(x_k[both] - x_r[both]), 90))
                if both.any() else np.inf)
     conv_gap = abs(float(np.mean(conv_k)) - float(np.mean(conv_r)))
+    # float64 exact-semantics anchor (tools/f64_truth.py): on the
+    # oscillator-heavy bend scenario the f32 XLA-on-TPU comparator itself
+    # drifts from the exact reference behavior (conv 0.617 vs the f64
+    # truth 0.686 at batch 1024; the kernel sits at 0.669 and f32
+    # XLA-on-CPU at 0.661), and a 24-row status autopsy showed 20/24
+    # kernel-vs-XLA mismatches are rows where the KERNEL matches the f64
+    # exit and the XLA build flipped (tools/results/bend_autopsy_r4.log).
+    # So the convergence-fraction gate compares the kernel to the
+    # implementation-independent truth when an anchor at this batch
+    # exists; the gap vs the XLA comparator stays printed (and gated as
+    # before) only when no anchor is available.
+    anchor = None
+    try:
+        with open(os.path.join(REPO, "tools", "f64_anchors.json")) as fp:
+            import json
+            a = json.load(fp).get(name)
+            if a and int(a["batch"]) == batch and int(a["seed"]) == 0:
+                anchor = float(a["conv"])
+    except (OSError, ValueError, KeyError):
+        pass
+    conv_gap_truth = (abs(float(np.mean(conv_k)) - anchor)
+                      if anchor is not None else None)
     # cost is the primary solution criterion: convergence stops on |J
     # decay| < threshold, so converged rows that took different iteration
     # paths return equi-optimal trajectories that differ at the cm level
@@ -111,18 +134,24 @@ def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
     # measured p90 position gap 1.3e-2 m at p90 cost gap 5.6e-4 on
     # scenario_two_straight G=8 vs XLA. 5e-2 m catches real geometry
     # regressions while tolerating that multiplicity.
-    # Convergence band, per scenario (at batch 1024): on the three
-    # margin-comfortable scenarios measured gaps are <= 0.014, so 0.02
-    # (>= +1.4 binomial sigma of headroom at conv ~ 0.7) catches even a
-    # ~3% systematic convergence regression. On the oscillator-heavy bend
-    # scenario the fraction is implementation-sensitive (measured 0.048 at
-    # G=8 -- with the kernel converging MORE, in fewer mean iters, at
-    # p90 cost gap 1.6e-4), so a tighter band there would flag chaotic
-    # path divergence rather than a regression; it keeps 0.05. A
-    # systematic breakage still trips either band: it moves the fraction
-    # by >> band (e.g. window 256: 0.27 vs 0.70) or blows the cost bound.
-    conv_band = 0.05 if name == "scenario_three_bend" else 0.02
-    ok = cost_p90 < 1e-3 and pos_p90 < 5e-2 and conv_gap <= conv_band
+    # Convergence gate: preferentially against the float64
+    # exact-semantics anchor (see below) -- the f32 XLA comparator itself
+    # drifts from exact reference behavior on oscillator-heavy scenarios.
+    # The legacy comparator bands (0.02, bend 0.05) only apply when no
+    # anchor exists for this batch. A systematic breakage trips either
+    # gate: it moves the fraction by >> band (e.g. window 256: 0.27 vs
+    # 0.70) or blows the cost bound.
+    if anchor is not None:
+        # 0.03 ~ 2x the binomial sd (~0.014) of a conv fraction near 0.7
+        # at batch 1024: catches a systematic regression (window 256
+        # moved the fraction by 0.43), tolerates sampling + f32
+        # path-chaos (measured kernel-vs-truth gaps <= 0.017 on all four
+        # scenarios at round-4 defaults)
+        conv_ok = conv_gap_truth <= 0.03
+    else:
+        conv_band = 0.05 if name == "scenario_three_bend" else 0.02
+        conv_ok = conv_gap <= conv_band
+    ok = cost_p90 < 1e-3 and pos_p90 < 5e-2 and conv_ok
     if dump:
         os.makedirs(dump, exist_ok=True)
         np.savez_compressed(
@@ -130,10 +159,12 @@ def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
             u_k=u_k, x_k=x_k, it_k=it_k, stat_k=stat_k, conv_k=conv_k,
             cost_k=cost_k, u_r=u_r, x_r=x_r, it_r=it_r, stat_r=stat_r,
             conv_r=conv_r, cost_r=cost_r, batch=batch, seed=0)
+    truth_s = ("conv_f64=n/a" if anchor is None else
+               f"conv_f64={anchor:.3f} gap_truth={conv_gap_truth:.3f}")
     print(
         f"{'PASS' if ok else 'FAIL'} {name}: iters_match={iters_match:.3f} "
         f"status_match={status_match:.3f} conv_k={np.mean(conv_k):.3f} "
-        f"conv_r={np.mean(conv_r):.3f} mean_iters k/r="
+        f"conv_r={np.mean(conv_r):.3f} {truth_s} mean_iters k/r="
         f"{np.mean(it_k):.2f}/{np.mean(it_r):.2f} cost_relerr_p90={cost_p90:.2e} "
         f"pos_absdiff_p90={pos_p90:.2e} t_kernel={t_kernel:.1f}s t_xla={t_xla:.1f}s",
         flush=True,
@@ -160,6 +191,9 @@ def main():
     ap.add_argument("--dump", default="",
                     help="directory to write per-scenario npz dumps of "
                     "per-row results (for the row-level autopsy tools)")
+    ap.add_argument("--proj-dot", action="store_true",
+                    help="validate the dot-form nearest-point scoring "
+                    "(statistical mode, see cilqr_kernel proj_dot)")
     ap.add_argument("--canary", action="store_true",
                     help="first run tools/xla_canary.py (the known-"
                     "miscompile-family check); FAIL validation if the "
@@ -181,7 +215,8 @@ def main():
            else (int(cap_s),) if int(cap_s) else ())
     for n in names:
         ok = run_one(n, args.batch, args.window, args.proj_rows,
-                     args.groups, args.w_back, cap, args.dump) and ok
+                     args.groups, args.w_back, cap, args.dump,
+                     args.proj_dot) and ok
     sys.exit(0 if ok else 1)
 
 
