@@ -10,9 +10,8 @@ R=/root/repo/tools/results
 # 1: four-scenario validation, round-3 defaults, anchor-gated
 python tools/validate_kernel_tpu.py --batch 1024 \
   > $R/val_r4_anchored.log 2>&1
-# 2a: proj_dot cold bench (vs 40,794 at ls4+caps, bench_cold_ls4.log)
-ILQR_PROJ_DOT=1 BENCH_MODE=cold python bench.py \
-  > $R/bench_cold_projdot.log 2>&1
+# 2a (already run separately): proj_dot cold bench measured 43,193
+# solves/s, +5.9% over the 40,794 ls4 baseline ($R/bench_cold_projdot.log)
 # 2b: proj_dot four-scenario statistical validation
 python tools/validate_kernel_tpu.py --batch 1024 --proj-dot \
   > $R/val_r4_projdot.log 2>&1
