@@ -1231,11 +1231,16 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
 
     ``proj_dot``: dot-form nearest-point scoring (see ``_build_kernel``)
     -- statistically equivalent, not bitwise (f32 argmin near-ties can
-    resolve differently). None resolves to the ILQR_PROJ_DOT env var
-    (default off); forced off at G>1.
+    resolve differently). None resolves to the ILQR_PROJ_DOT env var:
+    default ON for hardware (measured +5.9% cold solves with all four
+    scenarios inside the f64-anchor validation bands --
+    tools/results/bench_cold_projdot.log, val_r4_projdot.log), OFF in
+    interpret mode so the CPU test vehicle keeps the squared-distance
+    form the bitwise parity tests pin down. Forced off at G>1.
     """
     if proj_dot is None:
-        proj_dot = _os.environ.get("ILQR_PROJ_DOT", "0") == "1"
+        proj_dot = _os.environ.get(
+            "ILQR_PROJ_DOT", "0" if interpret else "1") == "1"
     if groups > 1:
         proj_dot = False
     if ls_chunk is None:
