@@ -81,7 +81,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                   rear_center: bool, use_alm: bool,
                   resume: bool = False, it0: int = 0,
                   row_limits=None, G: int = 1, ls_chunk: int = 0,
-                  proj_dot: bool = False):
+                  proj_dot: bool = False, proj_fold: bool = False):
     """Returns the kernel body function (closed over static shapes).
 
     In ALM mode the per-constraint dual state (mu slabs, one per constraint
@@ -143,6 +143,13 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
     round differently in f32, so near-ties can pick different window
     rows; like groups=8 this mode matches the default statistically
     (validated per-scenario on hardware), not bitwise.
+
+    ``proj_fold`` (G=1 only): replace the min + first-index one-hot +
+    masked-sum projection reduction with the G>1-style pair fold
+    carrying (score, x, y, yaw) -- one log-depth fold instead of ~7
+    full passes over the (R, 128) window. Tournament tie-breaking
+    (see the G>1 comment in ``project``), so also a statistical mode;
+    composes with ``proj_dot``.
     """
     f32 = jnp.float32
     C = 8 + 2 * M  # constraint columns (ALM dual layout)
@@ -150,6 +157,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
     assert G == 1 or G == 8, "G must be 1 (replicated rows) or 8 (vreg rows)"
     assert ls_chunk == 0 or G == 1, "chunked line search is G=1 only"
     assert not (proj_dot and G > 1), "proj_dot is G=1 only"
+    assert not (proj_fold and G > 1), "proj_fold is G=1 only"
 
     def kernel(*refs):
         (wts_ref, x0_ref, uinit_ref, rx_ref, ry_ref, ryaw_ref,
@@ -325,6 +333,39 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             kxs, kys, khs = [], [], []
             for k in range(N + 1):
                 R = W if row_limits is None else row_limits[k]
+                if proj_fold and G == 1:
+                    # G=1 variant of the G>1 pair fold below: one
+                    # log-depth fold carrying (score, x, y, yaw) replaces
+                    # the min + first-index one-hot + 3 masked sums (~7
+                    # full passes over the (R, 128) window). Tournament
+                    # tie-breaking instead of first-match (see the G>1
+                    # comment) -> statistical mode like proj_dot.
+                    if proj_dot:
+                        s0 = (p_cr[:R] + p_nx[:R] * pxr[k]
+                              + p_ny[:R] * pyr[k])
+                    else:
+                        dxf = rx[:R] - pxr[k]
+                        dyf = ry[:R] - pyr[k]
+                        s0 = dxf * dxf + dyf * dyf
+                    vals = (s0, rx[:R], ry[:R], ryaw[:R])
+                    n = R
+                    while n > 1:
+                        h = n // 2
+                        lo = tuple(v[:h] for v in vals)
+                        hi = tuple(v[h:2 * h] for v in vals)
+                        better = hi[0] < lo[0]
+                        merged = tuple(jnp.where(better, b, a)
+                                       for a, b in zip(lo, hi))
+                        if n % 2:
+                            merged = tuple(
+                                jnp.concatenate([m_, v[2 * h:]], axis=0)
+                                for m_, v in zip(merged, vals))
+                        vals = merged
+                        n = n - h
+                    kxs.append(vals[1])
+                    kys.append(vals[2])
+                    khs.append(vals[3])
+                    continue
                 if G > 1:
                     # argmin as one pair fold carrying (d2, x, y, yaw).
                     # Strict less-than keeps the lower slot on ties at each
@@ -1159,7 +1200,8 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
                        proj_rows_per_step: int = 0, groups: int = 1,
                        alm_mu0=None, alm_rho0=None, return_alm: bool = False,
                        w_back: int = W_BACK, ls_chunk: int | None = None,
-                       proj_dot: bool | None = None):
+                       proj_dot: bool | None = None,
+                       proj_fold: bool | None = None):
     """Batched CILQR solve via the fused kernel.
 
     Args mirror :func:`ilqr_tpu.solvers.cilqr.solve_batch`. x0_b: (B, 4);
@@ -1237,12 +1279,20 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
     tools/results/bench_cold_projdot.log, val_r4_projdot.log), OFF in
     interpret mode so the CPU test vehicle keeps the squared-distance
     form the bitwise parity tests pin down. Forced off at G>1.
+
+    ``proj_fold``: pair-fold projection reduction (see ``_build_kernel``)
+    -- experimental statistical mode, None resolves to the
+    ILQR_PROJ_FOLD env var (default off everywhere). Forced off at G>1.
     """
     if proj_dot is None:
         proj_dot = _os.environ.get(
             "ILQR_PROJ_DOT", "0" if interpret else "1") == "1"
+    if proj_fold is None:
+        # experimental (see _build_kernel); off by default everywhere
+        proj_fold = _os.environ.get("ILQR_PROJ_FOLD", "0") == "1"
     if groups > 1:
         proj_dot = False
+        proj_fold = False
     if ls_chunk is None:
         # width 4 measured best on hardware: +13% cold solves, +15%
         # 10-tick warm MPC, noise-neutral on 120-tick episodes; width 8
@@ -1264,21 +1314,22 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         u_init=u_init, straggler_cap=straggler_cap,
         proj_rows_per_step=proj_rows_per_step, groups=groups,
         alm_mu0=alm_mu0, alm_rho0=alm_rho0, return_alm=return_alm,
-        w_back=w_back, ls_chunk=ls_chunk, proj_dot=proj_dot)
+        w_back=w_back, ls_chunk=ls_chunk, proj_dot=proj_dot,
+        proj_fold=proj_fold)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "window", "interpret", "straggler_cap",
                      "proj_rows_per_step", "groups", "return_alm",
-                     "w_back", "ls_chunk", "proj_dot"),
+                     "w_back", "ls_chunk", "proj_dot", "proj_fold"),
 )
 def _cilqr_solve_pallas_jit(cfg: CILQRConfig, w: CILQRWeights, x0_b,
                             scenario_b, window: int, interpret: bool,
                             u_init, straggler_cap, proj_rows_per_step: int,
                             groups: int, alm_mu0, alm_rho0,
                             return_alm: bool, w_back: int, ls_chunk: int,
-                            proj_dot: bool):
+                            proj_dot: bool, proj_fold: bool):
     """Jitted body of :func:`cilqr_solve_pallas` (ls_chunk already
     resolved to an int by the wrapper)."""
     N, M = cfg.N, max(cfg.num_obstacles, 1)
@@ -1419,7 +1470,7 @@ def _cilqr_solve_pallas_jit(cfg: CILQRConfig, w: CILQRWeights, x0_b,
         kernel = _build_kernel(N, M, W, max_iter_k, n_alphas, rear, alm,
                                resume=resume_rows is not None, it0=it0_k,
                                row_limits=row_limits, G=G, ls_chunk=ls_chunk,
-                               proj_dot=proj_dot)
+                               proj_dot=proj_dot, proj_fold=proj_fold)
         in_specs = [
             pl.BlockSpec((_NWTS, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             bspec(8 * G), bspec(2 * NH * G), bspec(W * G), bspec(W * G),

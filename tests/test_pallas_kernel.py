@@ -435,6 +435,25 @@ def test_kernel_proj_dot_statistical(small_problem):
                                np.asarray(st2.final_cost), rtol=1e-3)
 
 
+def test_kernel_proj_fold_statistical(small_problem):
+    """Pair-fold projection reduction (proj_fold) vs the min/one-hot
+    default: tournament tie-breaking can only differ on exact f32 ties,
+    which this small problem does not produce -- statuses must agree and
+    trajectories to f32 path tolerance. Composes with proj_dot."""
+    cfg, w, x0_b, scen_b = small_problem
+    u1, x1, st1 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                     interpret=True, proj_dot=False,
+                                     proj_fold=False)
+    u2, x2, st2 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
+                                     interpret=True, proj_dot=True,
+                                     proj_fold=True)
+    np.testing.assert_array_equal(np.asarray(st1.status),
+                                  np.asarray(st2.status))
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st1.final_cost),
+                               np.asarray(st2.final_cost), rtol=1e-3)
+
+
 def test_kernel_projection_bound_generous_is_exact(small_problem):
     """A generous per-step search bound never binds, so results must be
     bitwise identical to the full-window scan."""
