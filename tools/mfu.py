@@ -14,10 +14,11 @@ Counting rules: one FLOP per scalar +,-,*,/,compare,select; transcendental
 (sin/cos/exp) = 1 FLOP (hardware-rate-limited ops are counted once --
 this *under*states the VPU's actual effort, keeping MFU conservative).
 
-Usage: python tools/mfu.py [--solves-per-sec 40794] [--mean-iters 11.6]
+Usage: python tools/mfu.py [--solves-per-sec 43193] [--mean-iters 11.7]
            [--mean-lane-trials 2.77] [--window 384]
-(defaults = the measured cold bench, tools/results/bench_cold_ls4.log,
-and the oracle's mean per-lane trial count, tools/measure_ls_trials.py)
+(defaults = the measured cold bench with the round-4 proj_dot default,
+tools/results/bench_cold_projdot.log, and the oracle's mean per-lane
+trial count, tools/measure_ls_trials.py)
 """
 
 import argparse
@@ -53,8 +54,8 @@ def flops_per_solve(N=30, M=3, W=384, mean_iters=11.6, mean_trials=2.77):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--solves-per-sec", type=float, default=40794.0)
-    ap.add_argument("--mean-iters", type=float, default=11.6)
+    ap.add_argument("--solves-per-sec", type=float, default=43193.0)
+    ap.add_argument("--mean-iters", type=float, default=11.7)
     ap.add_argument("--mean-lane-trials", type=float, default=2.77)
     ap.add_argument("--window", type=int, default=384)
     ap.add_argument("--N", type=int, default=30)
