@@ -101,7 +101,7 @@ def run_mpc_kernel(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
                    ref_velo_b, obs_full_b, road_borders_b, ticks: int,
                    window: int = 512, interpret: bool = False,
                    straggler_cap: int = 0, proj_rows_per_step: int = 0,
-                   groups: int = 1):
+                   groups: int = 1, w_back: Optional[int] = None):
     """Batched receding-horizon episodes on the fused Pallas kernel.
 
     x0_b (B, 4); ref_line_b (B, P, 4); obs_full_b (B, M, T, 3) with
@@ -118,6 +118,9 @@ def run_mpc_kernel(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
     """
     from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
 
+    # None = the kernel's default back-window (W_BACK); an int overrides
+    # (w_back=24 validated on all four scenarios, docs/PERFORMANCE.md)
+    kb = {} if w_back is None else {"w_back": w_back}
     alm = cfg.solve_type == "alm"
     ego = jnp.asarray(x0_b, jnp.float32)
     u_prev = None
@@ -142,12 +145,12 @@ def run_mpc_kernel(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
                 cfg, w, ego, scenario, window=window, interpret=interpret,
                 u_init=u_init, straggler_cap=straggler_cap,
                 proj_rows_per_step=proj_rows_per_step, groups=groups,
-                alm_mu0=mu_in, alm_rho0=rho_in, return_alm=True)
+                alm_mu0=mu_in, alm_rho0=rho_in, return_alm=True, **kb)
         else:
             u, x, st = cilqr_solve_pallas(
                 cfg, w, ego, scenario, window=window, interpret=interpret,
                 u_init=u_init, straggler_cap=straggler_cap,
-                proj_rows_per_step=proj_rows_per_step, groups=groups)
+                proj_rows_per_step=proj_rows_per_step, groups=groups, **kb)
         ego = x[:, 1]
         u_prev = u
         egos.append(ego)
@@ -161,7 +164,7 @@ def run_mpc_kernel(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
     jax.jit,
     static_argnames=("cfg", "ticks", "window", "interpret", "straggler_cap",
                      "proj_rows_per_step", "groups", "unroll", "with_carry",
-                     "straggler_cap_warm", "cold_first_tick"),
+                     "straggler_cap_warm", "cold_first_tick", "w_back"),
 )
 def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
                         ref_velo_b, obs_full_b, road_borders_b, ticks: int,
@@ -169,7 +172,8 @@ def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
                         straggler_cap: int = 0, proj_rows_per_step: int = 0,
                         groups: int = 1, unroll: bool = True,
                         t0=0, carry_in=None, with_carry: bool = False,
-                        straggler_cap_warm=None, cold_first_tick: bool = True):
+                        straggler_cap_warm=None, cold_first_tick: bool = True,
+                        w_back: Optional[int] = None):
     """Whole-episode batched MPC with the fused kernel in ONE compiled
     program: a ``lax.scan`` over ticks whose body is the Pallas solve.
 
@@ -204,6 +208,7 @@ def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
     """
     from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
 
+    kb = {} if w_back is None else {"w_back": w_back}
     alm = cfg.solve_type == "alm"
     carry_duals = alm and cfg.use_last_solution
     x0_b = jnp.asarray(x0_b, jnp.float32)
@@ -228,12 +233,13 @@ def run_mpc_kernel_scan(cfg: CILQRConfig, w: CILQRWeights, x0_b, ref_line_b,
                 u_init=u_init, straggler_cap=cap,
                 proj_rows_per_step=proj_rows_per_step, groups=groups,
                 alm_mu0=mu if carry_duals else None,
-                alm_rho0=rho if carry_duals else None, return_alm=True)
+                alm_rho0=rho if carry_duals else None, return_alm=True,
+                **kb)
         else:
             u, x, st = cilqr_solve_pallas(
                 cfg, w, ego, scenario, window=window, interpret=interpret,
                 u_init=u_init, straggler_cap=cap,
-                proj_rows_per_step=proj_rows_per_step, groups=groups)
+                proj_rows_per_step=proj_rows_per_step, groups=groups, **kb)
         new_ego = x[:, 1]
         return (new_ego, u, mu, rho), (new_ego, u, st)
 
@@ -289,7 +295,8 @@ def run_mpc_kernel_chunked(cfg: CILQRConfig, w: CILQRWeights, x0_b,
                            window: int = 512, interpret: bool = False,
                            straggler_cap: int = 0,
                            proj_rows_per_step: int = 0, groups: int = 1,
-                           straggler_cap_warm=None):
+                           straggler_cap_warm=None,
+                           w_back: Optional[int] = None):
     """Reference-length episodes (120-150 ticks, max_simulation_time in the
     shipped yamls / src/motion_planning.cpp:180) on the fused-kernel path.
 
@@ -334,7 +341,8 @@ def run_mpc_kernel_chunked(cfg: CILQRConfig, w: CILQRWeights, x0_b,
             proj_rows_per_step=proj_rows_per_step, groups=groups,
             t0=jnp.asarray(c * chunk, jnp.int32), carry_in=carry,
             with_carry=True, straggler_cap_warm=straggler_cap_warm,
-            cold_first_tick=(c == 0 or straggler_cap_warm is None))
+            cold_first_tick=(c == 0 or straggler_cap_warm is None),
+            w_back=w_back)
         ego = ego_c[-1]
         egos.append(ego_c[1:])
         us.append(us_c)
