@@ -64,7 +64,16 @@ def kinematic_jacobians(x, u, dt, wheelbase, ref_point: str = GRAVITY_CENTER):
         b11 = zeros
         b31 = (v * dt / wheelbase) / (jnp.cos(stl) ** 2)
     else:
-        beta = jnp.arctan(jnp.tan(stl) / 2.0)
+        # REFERENCE QUIRK, mirrored deliberately: the Jacobian's slip angle
+        # is atan(tan(stl / 2)) -- src/utils.cpp:292 `(u.col(1) / 2)
+        # .array().tan().atan()` and scripts/utils/kinematic.py:20 -- while
+        # the dynamics use the standard atan(tan(stl) / 2)
+        # (src/utils.cpp:265). The derivative factor below, however, IS the
+        # exact d/dstl of the dynamics' beta (src/utils.cpp:293), so the
+        # reference Jacobian is internally inconsistent at O(stl^3); we
+        # reproduce it exactly (caught by tests/test_reference_oracle.py
+        # executing the reference's own numpy implementation).
+        beta = jnp.arctan(jnp.tan(stl / 2.0))
         # d beta / d steer (reference src/utils.cpp:292-293)
         t2 = jnp.tan(stl) ** 2
         beta_over_stl = 0.5 * (1.0 + t2) / (1.0 + 0.25 * t2)

@@ -134,15 +134,19 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
     use array_equal, where -0.0 == +0.0). 0 = the serial early-exit loop.
 
     ``proj_dot`` (G=1 only): score the nearest-point search with the
-    expanded dot form ``c_r - 2 (rx x + ry y)`` (c_r = rx^2 + ry^2 and
-    the -2-scaled window slabs hoisted once per solve) instead of the
-    squared distance ``(x-rx)^2 + (y-ry)^2`` -- 2 FMAs per window row
-    instead of 5 ops, on the largest single term of kernel time (trial
-    projections, ~29% -- docs/PERFORMANCE.md "Where the kernel time
-    goes"). The two forms share the same exact-arithmetic argmin but
-    round differently in f32, so near-ties can pick different window
-    rows; like groups=8 this mode matches the default statistically
-    (validated per-scenario on hardware), not bitwise.
+    expanded dot form ``c_r' - 2 (rx' x' + ry' y')`` in coordinates
+    centered on window row 0 (primes; c_r' and the -2-scaled centered
+    window slabs hoisted once per solve) instead of the squared distance
+    ``(x-rx)^2 + (y-ry)^2`` -- 2 FMAs per window row instead of 5 ops,
+    on the largest single term of kernel time (trial projections, ~29%
+    -- docs/PERFORMANCE.md "Where the kernel time goes"). Centering
+    keeps the score's f32 error proportional to the window extent
+    rather than |coords|^2, so the mode stays sound for reference lines
+    far from the origin (round-4 advisor finding). The two forms share
+    the same exact-arithmetic argmin but round differently in f32, so
+    near-ties can pick different window rows; like groups=8 this mode
+    matches the default statistically (validated per-scenario on
+    hardware), not bitwise.
 
     ``proj_fold`` (G=1 only): replace the min + first-index one-hot +
     masked-sum projection reduction with the G>1-style pair fold
@@ -262,10 +266,24 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             widx = widx // G  # window-sample index per interleaved row
         if proj_dot:
             # hoisted once per solve (loop-invariant): nearest-point score
-            # c_r - 2(rx x + ry y); see the docstring's proj_dot section
-            p_cr = rx * rx + ry * ry
-            p_nx = -2.0 * rx
-            p_ny = -2.0 * ry
+            # in CENTERED coordinates, c_r' - 2(rx' x' + ry' y') with
+            # r' = r - r0, p' = p - r0 and r0 = window row 0 per lane.
+            # Centering restores translation invariance (round-4 advisor):
+            # the raw dot form's f32 score error grows as |coords|^2 * eps,
+            # so far-from-origin reference lines (~1e3-1e4 m) would drown
+            # near-minimum gaps in rounding noise; after centering the
+            # error scales with the ~40 m window extent instead. The
+            # ordering is unchanged in exact arithmetic: score'(r) =
+            # |r - p|^2 - |p - r0|^2, a per-(step, lane) constant offset.
+            # Inner loop still 2 FMAs per row; the p' shift is 2 subs per
+            # step outside the row loop.
+            cx0 = rx[:1]  # (1, LANES); proj_dot is G=1 so rx is (W, LANES)
+            cy0 = ry[:1]
+            rxc = rx - cx0
+            ryc = ry - cy0
+            p_cr = rxc * rxc + ryc * ryc
+            p_nx = -2.0 * rxc
+            p_ny = -2.0 * ryc
         OX = ox_ref[:, :]  # (M * NHG, 128)
         OY = oy_ref[:, :]
         OTH = oyaw_ref[:, :]
@@ -273,10 +291,20 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
         # -- primitives ---------------------------------------------------
         def _beta_trig(us):
             """sin/cos of beta = arctan(tan(us)/2) without atan (Mosaic has
-            no atan lowering): sin = (t/2)/sqrt(1+t^2/4), cos = 1/sqrt(...)."""
+            no atan lowering): sin = (t/2)/sqrt(1+t^2/4), cos = 1/sqrt(...).
+            This is the DYNAMICS beta (src/utils.cpp:265)."""
             t = jnp.tan(us)
             inv = lax.rsqrt(1.0 + 0.25 * t * t)
             return 0.5 * t * inv, inv
+
+        def _beta_jac_trig(us):
+            """sin/cos of the JACOBIAN's beta = arctan(tan(us / 2)) -- the
+            reference quirk at src/utils.cpp:292 (`(u/2).tan().atan()`),
+            deliberately different from the dynamics beta; atan-free via
+            sin = t/sqrt(1+t^2), cos = 1/sqrt(1+t^2) with t = tan(us/2)."""
+            t = jnp.tan(0.5 * us)
+            inv = lax.rsqrt(1.0 + t * t)
+            return t * inv, inv
 
         def propagate(px, py, pv, pyaw, ua, us):
             if rear_center:
@@ -333,6 +361,10 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
             kxs, kys, khs = [], [], []
             for k in range(N + 1):
                 R = W if row_limits is None else row_limits[k]
+                if proj_dot:
+                    # centered ego query (see the p_cr hoist comment)
+                    pxk = pxr[k] - cx0
+                    pyk = pyr[k] - cy0
                 if proj_fold and G == 1:
                     # G=1 variant of the G>1 pair fold below: one
                     # log-depth fold carrying (score, x, y, yaw) replaces
@@ -341,8 +373,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                     # tie-breaking instead of first-match (see the G>1
                     # comment) -> statistical mode like proj_dot.
                     if proj_dot:
-                        s0 = (p_cr[:R] + p_nx[:R] * pxr[k]
-                              + p_ny[:R] * pyr[k])
+                        s0 = p_cr[:R] + p_nx[:R] * pxk + p_ny[:R] * pyk
                     else:
                         dxf = rx[:R] - pxr[k]
                         dyf = ry[:R] - pyr[k]
@@ -400,7 +431,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                     continue
                 rxk, ryk, rhk, wk = rx[:R], ry[:R], ryaw[:R], widx[:R]
                 if proj_dot:
-                    d2 = p_cr[:R] + p_nx[:R] * pxr[k] + p_ny[:R] * pyr[k]
+                    d2 = p_cr[:R] + p_nx[:R] * pxk + p_ny[:R] * pyk
                 else:
                     dx = rxk - pxr[k]
                     dy = ryk - pyr[k]
@@ -682,7 +713,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
                     cs2 = jnp.cos(stl)
                     b31 = (v * dt / wb) / (cs2 * cs2)
                 else:
-                    sinb, cosb = _beta_trig(stl)
+                    sinb, cosb = _beta_jac_trig(stl)  # quirk beta (see def)
                     t2 = jnp.tan(stl) ** 2
                     dbds = 0.5 * (1.0 + t2) / (1.0 + 0.25 * t2)
                     cy_, sy_ = jnp.cos(yaw), jnp.sin(yaw)
@@ -1303,8 +1334,13 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         # explicit ls_chunk (tests) is still honored. Resolved HERE, in
         # the non-jitted wrapper, so the effective width is always part
         # of the jit cache key -- changing ILQR_LS_CHUNK mid-process
-        # takes effect instead of being baked in at first trace
-        # (round-3 advisor finding).
+        # takes effect for DIRECT (eager) calls instead of being baked in
+        # at first trace (round-3 advisor finding). Caveat (round-4
+        # advisor): when this wrapper is itself traced inside an outer jit
+        # (run_mpc_kernel_scan, the chunked episode driver), the env value
+        # read at the outer program's first trace is baked into THAT
+        # cache; restart the process (or change the outer cache key) to
+        # re-resolve there.
         default = "0" if interpret else "4"
         ls_chunk = int(_os.environ.get("ILQR_LS_CHUNK", default))
     if groups > 1 or _PROBE:

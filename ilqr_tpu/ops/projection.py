@@ -8,8 +8,8 @@ The reference has two semantics for "exact reference point":
 On the shipped scenarios (monotone progress along the lane) both agree; we
 implement the *global argmin* because it is embarrassingly parallel over
 (batch, horizon) with no sequential dependency -- the TPU-native choice
-(SURVEY.md section 7 "Hard parts"). A windowed variant cuts the candidate
-set using the arc-length ordering for long reference lines.
+(SURVEY.md section 7 "Hard parts"). The fused TPU kernel additionally
+windows its candidate set (see ops/pallas/cilqr_kernel.py).
 
 Padded reference-line rows (x = y = PAD_COORD) never win the argmin.
 """
@@ -37,7 +37,9 @@ def nearest_ref_points(pos, ref_line, method: str = "exact"):
         winner. ~7.5x fewer distance evaluations; identical result
         whenever the lane line is locally smooth at the 0.8 m scale
         (holds for every shipped scenario; validated against "exact" in
-        tests). The TPU perf path.
+        tests). Perf option for the XLA-composed solver only (pick via
+        CILQRConfig.projection); the fused TPU kernel has its own slab
+        windowing and does not use this module.
     """
     if method == "hier":
         return _nearest_hier(pos, ref_line, HIER_STRIDE)
@@ -64,23 +66,7 @@ def _nearest_hier(pos, ref_line, stride: int):
     return ref_line[idx]
 
 
-def nearest_ref_points_windowed(pos, ref_line, center_idx, window: int):
-    """Argmin restricted to ``window`` points around ``center_idx``.
-
-    pos (..., 2), center_idx (...,) int32. Exploits MPC temporal coherence:
-    the nearest index moves slowly between solver iterations, so a small
-    window (e.g. 128 of 2000 points) gives the same argmin at a fraction of
-    the bandwidth. Used by the performance path; the parity path uses the
-    global argmin.
-    """
-    P = ref_line.shape[0]
-    start = jnp.clip(center_idx - window // 2, 0, max(P - window, 0))
-    offs = jnp.arange(window)
-    idxs = start[..., None] + offs  # (..., window)
-    cand = ref_line[idxs]  # (..., window, 4)
-    dx = pos[..., 0:1] - cand[..., 0]
-    dy = pos[..., 1:2] - cand[..., 1]
-    d2 = dx * dx + dy * dy
-    best = jnp.argmin(d2, axis=-1)
-    gidx = jnp.take_along_axis(idxs, best[..., None], axis=-1)[..., 0]
-    return ref_line[gidx], gidx
+# (a windowed-argmin helper once lived here; it never gained a consumer --
+# the fused TPU kernel implements its own slab windowing
+# (ops/pallas/cilqr_kernel.py) -- and was removed rather than kept as
+# untested exported surface)

@@ -188,6 +188,88 @@ class DemoSolveResult(NamedTuple):
     converged: Any
 
 
+def backward_pass(p: DemoCILQRParams, u, x, lamb, ref_waypoints, ref_velo,
+                  obs_attrs, obs_preds):
+    """Riccati recursion of the demo solver
+    (scripts/2-cilqr-motionplanning.py:281-325). Returns (d, K).
+
+    Module-level (not nested in solve) so tests can teacher-force single
+    iterations along the reference's own solve path
+    (tests/test_reference_oracle.py)."""
+    N = u.shape[-2]
+    dtype = u.dtype
+    l_x, l_u, l_xx, l_uu = cost_derivatives(
+        p, u, x, ref_waypoints, ref_velo, obs_attrs, obs_preds)
+    A, B = kinematic_jacobians(x[:-1], u, p.dt, p.wheelbase, GRAVITY_CENTER)
+
+    def step(carry, inp):
+        V_x, V_xx, dV = carry
+        A_i, B_i, lx_i, lu_i, lxx_i, luu_i = inp
+        Q_x = lx_i + A_i.T @ V_x
+        Q_u = lu_i + B_i.T @ V_x
+        Q_xx = lxx_i + A_i.T @ V_xx @ A_i
+        Q_uu = luu_i + B_i.T @ V_xx @ B_i
+        Q_ux = B_i.T @ V_xx @ A_i
+        # model-space regularization (:310-312)
+        Bt_reg = B_i.T * lamb
+        Q_ux_r = Q_ux + Bt_reg @ A_i
+        Q_uu_r = Q_uu + Bt_reg @ B_i
+        det = Q_uu_r[0, 0] * Q_uu_r[1, 1] - Q_uu_r[0, 1] * Q_uu_r[1, 0]
+        inv = jnp.asarray([[Q_uu_r[1, 1], -Q_uu_r[0, 1]],
+                           [-Q_uu_r[1, 0], Q_uu_r[0, 0]]]) / det
+        d_i = -(inv @ Q_u)
+        K_i = -(inv @ Q_ux_r)
+        # value recursion with the UNregularized terms (:319-320)
+        V_x_n = Q_x + K_i.T @ Q_uu @ d_i + K_i.T @ Q_u + Q_ux.T @ d_i
+        V_xx_n = Q_xx + K_i.T @ Q_uu @ K_i + K_i.T @ Q_ux + Q_ux.T @ K_i
+        dV_n = dV + 0.5 * d_i @ (Q_uu @ d_i) + d_i @ Q_u
+        return (V_x_n, V_xx_n, dV_n), (d_i, K_i)
+
+    init = (l_x[N], l_xx[N], jnp.zeros((), dtype))
+    (_, _, dV), (d, K) = lax.scan(
+        step, init, (A, B, l_x[:N], l_u, l_xx[:N], l_uu), reverse=True)
+    return d, K
+
+
+def forward_pass(p: DemoCILQRParams, u, x, d, K, alpha):
+    """Line-search rollout (scripts/2-cilqr-motionplanning.py:328-343;
+    get_bounded_ctrl is a no-op stub there, scripts/utils/constraint.py:68)."""
+    from ilqr_tpu.models.bicycle import kinematic_propagate
+
+    def step(cur, inp):
+        u_i, x_i, d_i, K_i = inp
+        nu = u_i + alpha * d_i + K_i @ (cur - x_i)
+        nxt = kinematic_propagate(cur, nu, p.dt, p.wheelbase, GRAVITY_CENTER)
+        return nxt, (nu, nxt)
+
+    _, (nu, nx_tail) = lax.scan(step, x[0], (u, x[:-1], d, K))
+    return nu, jnp.concatenate([x[0][None], nx_tail], axis=0)
+
+
+def iter_step(p: DemoCILQRParams, u, x, J, lamb, ref_waypoints, ref_velo,
+              obs_attrs, obs_preds):
+    """One solver iteration: backward + fixed-alpha line search accepting
+    the first J-improving trial (scripts/2-cilqr-motionplanning.py:346-362).
+    Returns (new_u, new_x, new_J, effective)."""
+    dtype = u.dtype
+    d, K = backward_pass(p, u, x, lamb, ref_waypoints, ref_velo, obs_attrs,
+                         obs_preds)
+
+    def trial(cr, alpha):
+        hit, bu, bx, bj = cr
+        nu, nx = forward_pass(p, u, x, d, K, alpha)
+        nJ = total_cost(p, nu, nx, ref_waypoints, ref_velo, obs_attrs,
+                        obs_preds)
+        take = (~hit) & (nJ < J)
+        return ((hit | take, jnp.where(take, nu, bu),
+                 jnp.where(take, nx, bx), jnp.where(take, nJ, bj)), None)
+
+    alphas = jnp.asarray(ALPHAS, dtype)
+    (eff, nu, nx, nJ), _ = lax.scan(trial, (jnp.asarray(False), u, x, J),
+                                    alphas)
+    return nu, nx, nJ, eff
+
+
 def solve(p: DemoCILQRParams, x0, ref_waypoints, ref_velo, obs_attrs,
           obs_preds, max_iter: int = 50):
     """scripts/2-cilqr-motionplanning.py:364-393, batched-first."""
@@ -198,66 +280,10 @@ def solve(p: DemoCILQRParams, x0, ref_waypoints, ref_velo, obs_attrs,
     x_init = rollout(x0, u0, p.dt, p.wheelbase, GRAVITY_CENTER)
     J0 = total_cost(p, u0, x_init, ref_waypoints, ref_velo, obs_attrs, obs_preds)
 
-    def backward(u, x, lamb):
-        l_x, l_u, l_xx, l_uu = cost_derivatives(
-            p, u, x, ref_waypoints, ref_velo, obs_attrs, obs_preds)
-        A, B = kinematic_jacobians(x[:-1], u, p.dt, p.wheelbase, GRAVITY_CENTER)
-
-        def step(carry, inp):
-            V_x, V_xx, dV = carry
-            A_i, B_i, lx_i, lu_i, lxx_i, luu_i = inp
-            Q_x = lx_i + A_i.T @ V_x
-            Q_u = lu_i + B_i.T @ V_x
-            Q_xx = lxx_i + A_i.T @ V_xx @ A_i
-            Q_uu = luu_i + B_i.T @ V_xx @ B_i
-            Q_ux = B_i.T @ V_xx @ A_i
-            # model-space regularization (:310-312)
-            Bt_reg = B_i.T * lamb
-            Q_ux_r = Q_ux + Bt_reg @ A_i
-            Q_uu_r = Q_uu + Bt_reg @ B_i
-            det = Q_uu_r[0, 0] * Q_uu_r[1, 1] - Q_uu_r[0, 1] * Q_uu_r[1, 0]
-            inv = jnp.asarray([[Q_uu_r[1, 1], -Q_uu_r[0, 1]],
-                               [-Q_uu_r[1, 0], Q_uu_r[0, 0]]]) / det
-            d_i = -(inv @ Q_u)
-            K_i = -(inv @ Q_ux_r)
-            # value recursion with the UNregularized terms (:319-320)
-            V_x_n = Q_x + K_i.T @ Q_uu @ d_i + K_i.T @ Q_u + Q_ux.T @ d_i
-            V_xx_n = Q_xx + K_i.T @ Q_uu @ K_i + K_i.T @ Q_ux + Q_ux.T @ K_i
-            dV_n = dV + 0.5 * d_i @ (Q_uu @ d_i) + d_i @ Q_u
-            return (V_x_n, V_xx_n, dV_n), (d_i, K_i)
-
-        init = (l_x[N], l_xx[N], jnp.zeros((), dtype))
-        (_, _, dV), (d, K) = lax.scan(
-            step, init, (A, B, l_x[:N], l_u, l_xx[:N], l_uu), reverse=True)
-        return d, K
-
-    def forward(u, x, d, K, alpha):
-        def step(cur, inp):
-            u_i, x_i, d_i, K_i = inp
-            nu = u_i + alpha * d_i + K_i @ (cur - x_i)
-            from ilqr_tpu.models.bicycle import kinematic_propagate
-            nxt = kinematic_propagate(cur, nu, p.dt, p.wheelbase, GRAVITY_CENTER)
-            return nxt, (nu, nxt)
-
-        _, (nu, nx_tail) = lax.scan(step, x[0], (u, x[:-1], d, K))
-        return nu, jnp.concatenate([x[0][None], nx_tail], axis=0)
-
     def body(carry):
         u, x, J, lamb, it, done, conv = carry
-        d, K = backward(u, x, lamb)
-
-        def trial(cr, alpha):
-            hit, bu, bx, bj = cr
-            nu, nx = forward(u, x, d, K, alpha)
-            nJ = total_cost(p, nu, nx, ref_waypoints, ref_velo, obs_attrs,
-                            obs_preds)
-            take = (~hit) & (nJ < J)
-            return ((hit | take, jnp.where(take, nu, bu),
-                     jnp.where(take, nx, bx), jnp.where(take, nJ, bj)), None)
-
-        alphas = jnp.asarray(ALPHAS, dtype)
-        (eff, nu, nx, nJ), _ = lax.scan(trial, (jnp.asarray(False), u, x, J),
-                                        alphas)
+        nu, nx, nJ, eff = iter_step(p, u, x, J, lamb, ref_waypoints,
+                                    ref_velo, obs_attrs, obs_preds)
         conv_now = eff & (jnp.abs(nJ - J) < p.tol)
         u2 = jnp.where(eff, nu, u)
         x2 = jnp.where(eff, nx, x)

@@ -43,7 +43,11 @@ def jacobians(x, u, dt, wb, N, ref_point):
             B[i, 2, 0] = dt
             B[i, 3, 1] = (v * dt / wb) / np.cos(stl) ** 2
         else:
-            beta = np.arctan(np.tan(stl) / 2)
+            # reference quirk: the Jacobian's beta is atan(tan(stl / 2))
+            # (src/utils.cpp:292), NOT the dynamics' atan(tan(stl) / 2)
+            # (src/utils.cpp:265); dbds below is the exact derivative of
+            # the DYNAMICS beta (src/utils.cpp:293) -- mirrored as-is
+            beta = np.arctan(np.tan(stl / 2))
             dbds = 0.5 * (1 + np.tan(stl) ** 2) / (1 + 0.25 * np.tan(stl) ** 2)
             A[i, 0, 2] = np.cos(beta + yaw) * dt
             A[i, 0, 3] = -v * np.sin(beta + yaw) * dt

@@ -36,6 +36,7 @@ def _oracle_solve(gc, st, tick=0, oracle=None):
     return u, x, oracle
 
 
+@pytest.mark.quick  # the quick tier's one solver-level oracle-parity pin
 def test_solve_matches_oracle_first_tick(two_straight):
     gc, st = two_straight
     cfg = CILQRConfig.from_global_config(gc)

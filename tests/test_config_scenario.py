@@ -13,6 +13,8 @@ from ilqr_tpu.utils.refline import ReferenceLine
 
 from tests.conftest import CONFIG_DIR, REFERENCE_DIR
 
+pytestmark = pytest.mark.quick  # part of the <5-min regression tier
+
 ALL_YAMLS = [
     "scenario_two_straight.yaml",
     "scenario_two_borrow.yaml",

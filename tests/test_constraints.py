@@ -6,6 +6,9 @@ import jax.numpy as jnp
 
 from ilqr_tpu.models.bicycle import GRAVITY_CENTER
 from ilqr_tpu.ops import constraints as C
+import pytest
+
+pytestmark = pytest.mark.quick  # part of the <5-min regression tier
 
 WB, WIDTH, LENGTH, D_SAFE = 2.8, 2.0, 4.5, 1.0
 

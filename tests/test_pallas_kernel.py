@@ -435,23 +435,60 @@ def test_kernel_proj_dot_statistical(small_problem):
                                np.asarray(st2.final_cost), rtol=1e-3)
 
 
-def test_kernel_proj_fold_statistical(small_problem):
+@pytest.mark.parametrize("fold_dot", [False, True],
+                         ids=["fold_alone", "fold_with_dot"])
+def test_kernel_proj_fold_statistical(small_problem, fold_dot):
     """Pair-fold projection reduction (proj_fold) vs the min/one-hot
     default: tournament tie-breaking can only differ on exact f32 ties,
     which this small problem does not produce -- statuses must agree and
-    trajectories to f32 path tolerance. Composes with proj_dot."""
+    trajectories to f32 path tolerance. Exercised both alone (the
+    squared-distance s0 branch inside the fold; round-4 advisor finding)
+    and composed with proj_dot."""
     cfg, w, x0_b, scen_b = small_problem
     u1, x1, st1 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
                                      interpret=True, proj_dot=False,
                                      proj_fold=False)
     u2, x2, st2 = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=256,
-                                     interpret=True, proj_dot=True,
+                                     interpret=True, proj_dot=fold_dot,
                                      proj_fold=True)
     np.testing.assert_array_equal(np.asarray(st1.status),
                                   np.asarray(st2.status))
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-3)
     np.testing.assert_allclose(np.asarray(st1.final_cost),
                                np.asarray(st2.final_cost), rtol=1e-3)
+
+
+def test_kernel_proj_dot_translation_invariance(small_problem):
+    """proj_dot must stay sound for reference lines far from the origin
+    (round-4 advisor finding): the raw dot form's f32 score error grows
+    as |coords|^2 * eps, which at ~1e4 m coordinates is meters^2 -- the
+    argmin would pick rows meters away. The centered form keeps the error
+    at window scale, so on a uniformly translated scenario proj_dot must
+    agree with the squared-distance form exactly as it does at the
+    origin (statuses/iters equal on this near-tie-free problem)."""
+    cfg, w, x0_b, scen_b = small_problem
+    shift = np.array([12345.0, -6789.0], np.float32)
+
+    def translate(a, cols):
+        a = np.asarray(a).copy()
+        a[..., 0] += shift[0]
+        a[..., 1] += shift[1]
+        return jnp.asarray(a)
+
+    scen_t = scen_b.replace(
+        ref_line=translate(scen_b.ref_line, 2),
+        obs_preds=translate(scen_b.obs_preds, 2))
+    x0_t = translate(x0_b, 2)
+
+    u1, x1, st1 = cilqr_solve_pallas(cfg, w, x0_t, scen_t, window=256,
+                                     interpret=True, proj_dot=False)
+    u2, x2, st2 = cilqr_solve_pallas(cfg, w, x0_t, scen_t, window=256,
+                                     interpret=True, proj_dot=True)
+    np.testing.assert_array_equal(np.asarray(st1.status),
+                                  np.asarray(st2.status))
+    np.testing.assert_array_equal(np.asarray(st1.iters),
+                                  np.asarray(st2.iters))
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-2)
 
 
 def test_kernel_projection_bound_generous_is_exact(small_problem):

@@ -15,6 +15,8 @@ from ilqr_tpu.types import CILQRConfig, CILQRWeights
 
 from tests.conftest import CONFIG_DIR
 
+pytestmark = pytest.mark.quick  # part of the <5-min regression tier
+
 ALL_YAMLS = [
     "scenario_two_straight.yaml",
     "scenario_two_borrow.yaml",

@@ -3,6 +3,8 @@
 import numpy as np
 import jax.numpy as jnp
 
+import pytest
+
 from ilqr_tpu.utils.splines import (
     CubicSpline1D,
     CubicSpline2D,
@@ -10,6 +12,8 @@ from ilqr_tpu.utils.splines import (
     fit_natural_cubic,
     eval_spline,
 )
+
+pytestmark = pytest.mark.quick  # part of the <5-min regression tier
 
 
 def _dense_natural_coeffs(x, y):

@@ -15,6 +15,8 @@ from ilqr_tpu.utils.math import (
     variance,
 )
 
+pytestmark = pytest.mark.quick  # part of the <5-min regression tier
+
 
 def test_sign_zero_is_positive():
     # reference quirk: sign(0) == +1 (include/utils.hpp:110-117)

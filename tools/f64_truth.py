@@ -93,6 +93,13 @@ def main():
             "mean_iters": round(float(it.mean()), 4),
             "status_hist": {str(s): int((stat == s).sum())
                             for s in np.unique(stat)},
+            # Per-row exit statuses (reference status machine:
+            # src/cilqr_solver.cpp:110-142), in batch-row order, so
+            # validate_kernel_tpu.py can compute the full-batch per-row
+            # f64-agreement fraction for both the kernel and the f32 XLA
+            # comparator (VERDICT r4 Missing #2). ~1 KiB per scenario as a
+            # compact digit string (statuses are single digits 0-3).
+            "status_rows": "".join(str(int(s)) for s in stat),
         }
         print(f"{name}: conv={out[name]['conv']:.3f} "
               f"mean_iters={out[name]['mean_iters']:.2f} "

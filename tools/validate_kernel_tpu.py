@@ -34,8 +34,8 @@ SCENARIOS = [
 
 
 def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
-            groups: int = 1, w_back: int = 64, cap=(), dump: str = "",
-            proj_dot: bool = False) -> bool:
+            groups: int = 1, w_back: int = 24, cap=(), dump: str = "",
+            proj_dot=None) -> bool:
     from ilqr_tpu.config import GlobalConfig
     from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
     from ilqr_tpu.sim.scenario import build_scenario_setup, perturbed_initial_states
@@ -117,16 +117,36 @@ def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
     # exists; the gap vs the XLA comparator stays printed (and gated as
     # before) only when no anchor is available.
     anchor = None
+    f64_rows = None
     try:
         with open(os.path.join(REPO, "tools", "f64_anchors.json")) as fp:
             import json
             a = json.load(fp).get(name)
             if a and int(a["batch"]) == batch and int(a["seed"]) == 0:
                 anchor = float(a["conv"])
+                if "status_rows" in a and len(a["status_rows"]) == batch:
+                    f64_rows = np.array(
+                        [int(c) for c in a["status_rows"]], dtype=stat_k.dtype)
     except (OSError, ValueError, KeyError):
         pass
     conv_gap_truth = (abs(float(np.mean(conv_k)) - anchor)
                       if anchor is not None else None)
+    # Full-batch per-row f64-agreement (VERDICT r4 Missing #2): the
+    # fraction of rows whose exit status matches the f64 exact-semantics
+    # anchor run, computed for BOTH the kernel and the f32 XLA comparator
+    # over every row (not a sample). The gate requires the kernel to agree
+    # with f64 truth at least as often as the f32 XLA build does (1% slack
+    # ~ binomial noise at batch 1024). This is the implementation-
+    # independent form of the old status_match criterion: per-row status
+    # equality between two f32 builds measures path chaos (NOTES.md), but
+    # per-row agreement *with the f64 truth* ranks the builds.
+    # Reference status machine: src/cilqr_solver.cpp:110-142.
+    agree_f64_k = agree_f64_r = None
+    agree_ok = True
+    if f64_rows is not None:
+        agree_f64_k = float(np.mean(stat_k == f64_rows))
+        agree_f64_r = float(np.mean(stat_r == f64_rows))
+        agree_ok = agree_f64_k >= agree_f64_r - 0.01
     # cost is the primary solution criterion: convergence stops on |J
     # decay| < threshold, so converged rows that took different iteration
     # paths return equi-optimal trajectories that differ at the cm level
@@ -151,7 +171,7 @@ def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
     else:
         conv_band = 0.05 if name == "scenario_three_bend" else 0.02
         conv_ok = conv_gap <= conv_band
-    ok = cost_p90 < 1e-3 and pos_p90 < 5e-2 and conv_ok
+    ok = cost_p90 < 1e-3 and pos_p90 < 5e-2 and conv_ok and agree_ok
     if dump:
         os.makedirs(dump, exist_ok=True)
         np.savez_compressed(
@@ -161,6 +181,9 @@ def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
             conv_r=conv_r, cost_r=cost_r, batch=batch, seed=0)
     truth_s = ("conv_f64=n/a" if anchor is None else
                f"conv_f64={anchor:.3f} gap_truth={conv_gap_truth:.3f}")
+    if agree_f64_k is not None:
+        truth_s += (f" agree_f64_k={agree_f64_k:.3f}"
+                    f" agree_f64_r={agree_f64_r:.3f}")
     print(
         f"{'PASS' if ok else 'FAIL'} {name}: iters_match={iters_match:.3f} "
         f"status_match={status_match:.3f} conv_k={np.mean(conv_k):.3f} "
@@ -181,8 +204,10 @@ def main():
                     help="per-step projection bound (-1 = derive from yaml)")
     ap.add_argument("--groups", type=int, default=1,
                     help="scenario groups per kernel tile (1 or 8)")
-    ap.add_argument("--w-back", type=int, default=64,
-                    help="window rows behind the initial projection")
+    ap.add_argument("--w-back", type=int, default=24,
+                    help="window rows behind the initial projection "
+                    "(default 24 = the shipped bench default; see "
+                    "docs/PERFORMANCE.md)")
     ap.add_argument("--cap", default="8,16,32",
                     help="straggler-cap schedule for the kernel (the "
                     "production default; bitwise-identical to 0 by "
@@ -191,9 +216,13 @@ def main():
     ap.add_argument("--dump", default="",
                     help="directory to write per-scenario npz dumps of "
                     "per-row results (for the row-level autopsy tools)")
-    ap.add_argument("--proj-dot", action="store_true",
-                    help="validate the dot-form nearest-point scoring "
-                    "(statistical mode, see cilqr_kernel proj_dot)")
+    ap.add_argument("--proj-dot", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="dot-form nearest-point scoring. Default None = "
+                    "inherit the production ILQR_PROJ_DOT env resolution "
+                    "(ON on hardware), so a plain run validates the "
+                    "shipped configuration; --no-proj-dot pins the "
+                    "legacy squared-distance form")
     ap.add_argument("--canary", action="store_true",
                     help="first run tools/xla_canary.py (the known-"
                     "miscompile-family check); FAIL validation if the "
