@@ -81,3 +81,30 @@ def test_five_tick_mpc_matches_reference_cpp(harness, name):
     np.testing.assert_allclose(np.asarray(h["ego"]), ego_cpp, atol=1e-10)
     np.testing.assert_allclose(np.asarray(h["u"][:, 0, :]), u0_cpp,
                                atol=1e-10)
+
+
+def test_twenty_tick_episode_matches_reference_cpp(harness):
+    """Longer-run drift check on the warm-start scenario
+    (scenario_three_straight ships use_last_solution=true,
+    src/cilqr_solver.cpp:97-102): 20 receding-horizon ticks keep carrying
+    the previous solution and ALM state, so any cross-solve carry
+    mismatch compounds visibly."""
+    import jax.numpy as jnp
+
+    from ilqr_tpu.config import GlobalConfig
+    from ilqr_tpu.sim.mpc import run_mpc
+    from ilqr_tpu.sim.scenario import build_scenario_setup
+    from ilqr_tpu.types import CILQRConfig, CILQRWeights
+
+    name = "scenario_three_straight"
+    ego_cpp, u0_cpp = _run_harness(
+        harness, os.path.join(CONFIG_DIR, f"{name}.yaml"), 20)
+
+    gc = GlobalConfig.from_file(os.path.join(CONFIG_DIR, f"{name}.yaml"))
+    st = build_scenario_setup(gc)
+    cfg = CILQRConfig.from_global_config(gc)
+    w = CILQRWeights.from_global_config(gc, dtype=jnp.float64)
+    h = run_mpc(cfg, w, st, dtype=jnp.float64, ticks=20)
+    np.testing.assert_allclose(np.asarray(h["ego"]), ego_cpp, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(h["u"][:, 0, :]), u0_cpp,
+                               atol=1e-9)
