@@ -57,9 +57,10 @@ class CILQRConfig:
     # (1 = the reference's sequential walk; results identical for any width)
     line_search_width: int = 4
     # backward-pass implementation: "scan" = sequential O(N)-depth Riccati
-    # (exact reference semantics); "pscan" = parallel-in-time
-    # lax.associative_scan with O(log N) depth for long horizons (lambda
-    # regularizes gains only -- see ops/riccati_pscan.py)
+    # (exact reference semantics); "pscan" = EXPERIMENTAL parallel-in-time
+    # lax.associative_scan -- measured slower or tied at every (batch, N)
+    # on v5e (docs/PERFORMANCE.md "Long-horizon"; lambda regularizes gains
+    # only -- see ops/riccati_pscan.py). Keep "scan".
     riccati_impl: str = "scan"
 
     @property
