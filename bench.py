@@ -70,8 +70,14 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
     w = CILQRWeights.from_global_config(gc, dtype=dtype)
     scenario = st.device_scenario(tick=0, dtype=dtype)
     B = batch
-    proj_rows = int(np.ceil(1.5 * float(gc["vehicle/velo_max"])
-                            * float(gc["delta_t"]) / 0.1))
+    # per-step projection search bound; -1 derives 1.3x the target
+    # velocity (see cilqr_kernel.derive_proj_rows -- +11.8% over the
+    # legacy 1.5x-speed-limit bound, anchor-validated), 0 disables
+    proj_rows = int(os.environ.get("BENCH_PROJ", "-1"))
+    if proj_rows < 0:
+        from ilqr_tpu.ops.pallas.cilqr_kernel import derive_proj_rows
+        proj_rows = derive_proj_rows(gc["vehicle/target_velocity"],
+                                     gc["delta_t"])
     # multi-phase straggler schedule, same default as the cold bench:
     # 51.2k solves/s vs 29.1k at the round-2 single cap 24
     # (tools/results/bench_mpc_cap81632.log vs bench_mode_mpc_unrolled.log)
@@ -207,12 +213,14 @@ def build(batch: int, dtype=jnp.float32):
         cap_s = os.environ.get("BENCH_CAP", "8,16,32")
         cap = tuple(int(c) for c in cap_s.split(",") if c) if "," in cap_s \
             else int(cap_s)
-        # per-step projection search bound; -1 derives from the yaml's
-        # speed limit with 1.5x headroom (see kernel docstring), 0 disables
+        # per-step projection search bound; -1 derives 1.3x the target
+        # velocity (see cilqr_kernel.derive_proj_rows -- +11.8% over the
+        # legacy 1.5x-speed-limit bound, anchor-validated), 0 disables
         proj_rows = int(os.environ.get("BENCH_PROJ", "-1"))
         if proj_rows < 0:
-            proj_rows = int(np.ceil(1.5 * float(gc["vehicle/velo_max"])
-                                    * float(gc["delta_t"]) / 0.1))
+            from ilqr_tpu.ops.pallas.cilqr_kernel import derive_proj_rows
+            proj_rows = derive_proj_rows(gc["vehicle/target_velocity"],
+                                         gc["delta_t"])
         # window rows behind the initial projection (see kernel docstring):
         # 24 measured +3.3% over the kernel's 64 default with identical
         # full-size validation results on all four scenarios

@@ -35,7 +35,7 @@ SCENARIOS = [
 
 def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
             groups: int = 1, w_back: int = 24, cap=(), dump: str = "",
-            proj_dot=None) -> bool:
+            proj_dot=None, proj_factor: float = 1.3) -> bool:
     from ilqr_tpu.config import GlobalConfig
     from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
     from ilqr_tpu.sim.scenario import build_scenario_setup, perturbed_initial_states
@@ -54,9 +54,12 @@ def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
     scen_b = jax.tree.map(lambda a: jnp.stack([a] * batch), scenario)
 
     t0 = time.perf_counter()
-    if proj_rows < 0:  # derive from the scenario's speed limit
-        proj_rows = int(np.ceil(1.5 * float(gc["vehicle/velo_max"])
-                                * float(gc["delta_t"]) / 0.1))
+    if proj_rows < 0:  # derive from the scenario's target velocity
+        from ilqr_tpu.ops.pallas.cilqr_kernel import derive_proj_rows
+        proj_rows = derive_proj_rows(gc["vehicle/target_velocity"],
+                                     gc["delta_t"], factor=proj_factor)
+        print(f"{name}: derived proj_rows={proj_rows} "
+              f"(factor {proj_factor})", flush=True)
     u_k, x_k, st_k = cilqr_solve_pallas(cfg, w, x0_b, scen_b, window=window,
                                         proj_rows_per_step=proj_rows,
                                         groups=groups, w_back=w_back,
@@ -214,7 +217,12 @@ def main():
     ap.add_argument("--window", type=int, default=384)
     ap.add_argument("--scenario", default=None)
     ap.add_argument("--proj-rows", type=int, default=0,
-                    help="per-step projection bound (-1 = derive from yaml)")
+                    help="per-step projection bound (-1 = derive from the "
+                    "yaml's target velocity via derive_proj_rows, matching "
+                    "the bench; 0 = full window)")
+    ap.add_argument("--proj-factor", type=float, default=1.3,
+                    help="target-velocity headroom factor for the -1 "
+                    "derivation (see cilqr_kernel.derive_proj_rows)")
     ap.add_argument("--groups", type=int, default=1,
                     help="scenario groups per kernel tile (1 or 8)")
     ap.add_argument("--w-back", type=int, default=24,
@@ -258,7 +266,7 @@ def main():
     for n in names:
         ok = run_one(n, args.batch, args.window, args.proj_rows,
                      args.groups, args.w_back, cap, args.dump,
-                     args.proj_dot) and ok
+                     args.proj_dot, args.proj_factor) and ok
     sys.exit(0 if ok else 1)
 
 
