@@ -18,11 +18,11 @@ reference's use_last_solution shifted-u warm start between ticks
 (src/cilqr_solver.cpp:163-180; BENCH_WARM=0 disables). Episodes run on the
 chunked fused-kernel driver, verified tick-for-tick bitwise against the
 plain host-loop driver on hardware (docs/PERFORMANCE.md
-"Reference-length episodes"; measured 117.8k solves/s on one v5e chip).
-Metric: "cilqr_mpc_solves_per_sec".
+"Reference-length episodes"; measured 137.0k solves/s on one v5e chip
+at the round-5 defaults). Metric: "cilqr_mpc_solves_per_sec".
 
 BENCH_MODE=cold benches independent single cold solves instead (metric
-"cilqr_solves_per_sec"; 36.0k solves/s on one v5e chip). Historical note:
+"cilqr_solves_per_sec"; 51.8k solves/s on one v5e chip). Historical note:
 round-2's 99.5k/104k MPC figures were artifacts of the lax.scan
 miscompile (docs/PERFORMANCE.md "Second instance of the same bug
 family") and were retracted; today's episode numbers come from the
@@ -51,7 +51,7 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
     (run_mpc_kernel_chunked: one compiled 10-tick chunk program dispatched
     repeatedly with device-resident carries -- tick-for-tick identical to
     the host loop, tests/test_pallas_kernel.py), which is how the
-    reference-length 120-tick episode measures 117.8k solves/s on one v5e
+    reference-length 120-tick episode measures 137.0k solves/s on one v5e
     chip at batch 8192 (docs/PERFORMANCE.md "Reference-length episodes")."""
     from ilqr_tpu.config import GlobalConfig
     from ilqr_tpu.sim.mpc import run_mpc_kernel_chunked, run_mpc_kernel_scan
@@ -70,9 +70,10 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
     w = CILQRWeights.from_global_config(gc, dtype=dtype)
     scenario = st.device_scenario(tick=0, dtype=dtype)
     B = batch
-    # per-step projection search bound; -1 derives 1.3x the target
-    # velocity (see cilqr_kernel.derive_proj_rows -- +11.8% over the
-    # legacy 1.5x-speed-limit bound, anchor-validated), 0 disables
+    # per-step projection search bound; -1 derives 1.1x the target
+    # velocity (see cilqr_kernel.derive_proj_rows -- +15.9% cold /
+    # +10.2% episodes over the legacy 1.5x-speed-limit bound,
+    # anchor-validated with bound-never-binds statistics), 0 disables
     proj_rows = int(os.environ.get("BENCH_PROJ", "-1"))
     if proj_rows < 0:
         from ilqr_tpu.ops.pallas.cilqr_kernel import derive_proj_rows
@@ -213,9 +214,10 @@ def build(batch: int, dtype=jnp.float32):
         cap_s = os.environ.get("BENCH_CAP", "8,16,32")
         cap = tuple(int(c) for c in cap_s.split(",") if c) if "," in cap_s \
             else int(cap_s)
-        # per-step projection search bound; -1 derives 1.3x the target
-        # velocity (see cilqr_kernel.derive_proj_rows -- +11.8% over the
-        # legacy 1.5x-speed-limit bound, anchor-validated), 0 disables
+        # per-step projection search bound; -1 derives 1.1x the target
+        # velocity (see cilqr_kernel.derive_proj_rows -- +15.9% cold /
+        # +10.2% episodes over the legacy 1.5x-speed-limit bound,
+        # anchor-validated with bound-never-binds statistics), 0 disables
         proj_rows = int(os.environ.get("BENCH_PROJ", "-1"))
         if proj_rows < 0:
             from ilqr_tpu.ops.pallas.cilqr_kernel import derive_proj_rows

@@ -1225,7 +1225,7 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
 _PROJ_SLACK = 48  # extra window rows (4.8 m) above the per-step search bound
 
 
-def derive_proj_rows(target_velocity, dt, factor: float = 1.3):
+def derive_proj_rows(target_velocity, dt, factor: float = 1.1):
     """Per-step projection search-bound derivation (rows per horizon step).
 
     Step k's nearest-row scan is bounded by w_back + slack + k * rows
@@ -1233,15 +1233,19 @@ def derive_proj_rows(target_velocity, dt, factor: float = 1.3):
     reference line's sample spacing, src/utils.cpp:21-35), so the ego
     consumes ``v * dt / 0.1`` rows per step. Round 5 changed the speed
     basis from the SPEED LIMIT (1.5 * velo_max -- guaranteed to never
-    bind, but 2-3x looser than any realized trajectory) to 1.3x the
-    TARGET velocity the tracking cost actually pulls toward: +11.8%
-    cold solves/s (50.0k vs 44.7k, tools/results/bench_cold_r5_proj11
-    .log) with bench convergence/iters unchanged. A trial that
+    bind, but 2-3x looser than any realized trajectory) to a headroom
+    factor over the TARGET velocity the tracking cost actually pulls
+    toward. Measured (cold batch 8192): factor 1.3 -> 50.0k solves/s
+    (+11.8%), factor 1.1 -> 51.8k (+15.9%); MPC episodes 133.0k / 137.0k
+    (tools/results/bench_{cold,mpc}_r5_proj{11,9}.log). A trial that
     transiently overshoots the bound only scans a subset and can only
     see a HIGHER cost for that trial (min over fewer rows), so this is
-    a statistical mode like proj_dot -- shipped only with the four-
-    scenario f64-anchor validation green (tools/validate_kernel_tpu.py,
-    tools/results/val_r5_projtarget.log)."""
+    a statistical mode like proj_dot -- and at BOTH factors the four-
+    scenario f64-anchor validation is green with statistics identical
+    to the unbounded window, i.e. the bound never binds on the
+    validation batches (tools/results/val_r5_projtarget{,11}.log).
+    Default 1.1 = the validated aggressive setting; the 48-row slack in
+    row_limits absorbs transient overshoot above target speed."""
     import math
 
     return int(math.ceil(factor * float(target_velocity) * float(dt) / 0.1))

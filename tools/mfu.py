@@ -14,11 +14,13 @@ Counting rules: one FLOP per scalar +,-,*,/,compare,select; transcendental
 (sin/cos/exp) = 1 FLOP (hardware-rate-limited ops are counted once --
 this *under*states the VPU's actual effort, keeping MFU conservative).
 
-Usage: python tools/mfu.py [--solves-per-sec 43193] [--mean-iters 11.7]
-           [--mean-lane-trials 2.77] [--window 384]
-(defaults = the measured cold bench with the round-4 proj_dot default,
-tools/results/bench_cold_projdot.log, and the oracle's mean per-lane
-trial count, tools/measure_ls_trials.py)
+Usage: python tools/mfu.py [--solves-per-sec 51818] [--mean-iters 11.6]
+           [--mean-lane-trials 2.77] [--window 384] [--proj-rows 9]
+(defaults = the round-5 cold bench at the shipped configuration --
+proj_dot centered, w_back 24, target-velocity projection bound,
+tools/results/bench_cold_r5_proj9.log -- and the oracle's mean per-lane
+trial count, tools/measure_ls_trials.py; --proj-rows 0 recovers the
+full-window accounting)
 """
 
 import argparse
@@ -52,17 +54,38 @@ def flops_per_solve(N=30, M=3, W=384, mean_iters=11.6, mean_trials=2.77):
     return mean_iters * per_iter
 
 
+def mean_scanned_rows(N=30, W=384, proj_rows=9, w_back=24, slack=48):
+    """Mean per-step rows actually scanned under the round-5 per-step
+    search bound row_limits[k] = round8(w_back + slack + k * proj_rows)
+    capped at W (cilqr_kernel.derive_proj_rows). Passing this as the
+    effective window keeps the FLOP count honest: rows the kernel
+    provably never touches are not 'achieved' work."""
+    tot = 0
+    for k in range(N + 1):
+        tot += min(W, -(-(w_back + slack + k * proj_rows) // 8) * 8)
+    return tot / (N + 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--solves-per-sec", type=float, default=43193.0)
-    ap.add_argument("--mean-iters", type=float, default=11.7)
+    ap.add_argument("--solves-per-sec", type=float, default=51818.0)
+    ap.add_argument("--mean-iters", type=float, default=11.6)
     ap.add_argument("--mean-lane-trials", type=float, default=2.77)
     ap.add_argument("--window", type=int, default=384)
+    ap.add_argument("--proj-rows", type=int, default=9,
+                    help="per-step search-bound rows (round-5 default "
+                    "factor 1.1 on scenario_two_straight = 9); 0 = full "
+                    "window scans")
     ap.add_argument("--N", type=int, default=30)
     ap.add_argument("--M", type=int, default=3)
     args = ap.parse_args()
 
-    fps = flops_per_solve(args.N, args.M, args.window, args.mean_iters,
+    eff_w = args.window
+    if args.proj_rows > 0:
+        eff_w = mean_scanned_rows(args.N, args.window, args.proj_rows)
+        print(f"effective mean window under proj_rows={args.proj_rows}: "
+              f"{eff_w:.1f} rows (of {args.window})")
+    fps = flops_per_solve(args.N, args.M, eff_w, args.mean_iters,
                           args.mean_lane_trials)
     useful = fps * args.solves_per_sec
     # v5e peaks: 197 TFLOP/s bf16 (MXU, the chip's headline peak) --
@@ -82,7 +105,7 @@ def main():
           f"{100*useful/peak_vpu_f32:.2f}%")
     # share of the trial projection term (the probe-measured dominant cost)
     proj = (args.mean_iters * args.mean_lane_trials
-            * (args.N + 1) * args.window * 6)
+            * (args.N + 1) * eff_w * 6)
     print(f"projection share of useful FLOPs: {100*proj/fps:.1f}%")
 
 

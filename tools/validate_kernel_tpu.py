@@ -35,7 +35,7 @@ SCENARIOS = [
 
 def run_one(name: str, batch: int, window: int, proj_rows: int = 0,
             groups: int = 1, w_back: int = 24, cap=(), dump: str = "",
-            proj_dot=None, proj_factor: float = 1.3) -> bool:
+            proj_dot=None, proj_factor: float = 1.1) -> bool:
     from ilqr_tpu.config import GlobalConfig
     from ilqr_tpu.ops.pallas.cilqr_kernel import cilqr_solve_pallas
     from ilqr_tpu.sim.scenario import build_scenario_setup, perturbed_initial_states
@@ -220,7 +220,7 @@ def main():
                     help="per-step projection bound (-1 = derive from the "
                     "yaml's target velocity via derive_proj_rows, matching "
                     "the bench; 0 = full window)")
-    ap.add_argument("--proj-factor", type=float, default=1.3,
+    ap.add_argument("--proj-factor", type=float, default=1.1,
                     help="target-velocity headroom factor for the -1 "
                     "derivation (see cilqr_kernel.derive_proj_rows)")
     ap.add_argument("--groups", type=int, default=1,
