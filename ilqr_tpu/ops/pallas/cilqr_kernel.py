@@ -1371,27 +1371,33 @@ def cilqr_solve_pallas(cfg: CILQRConfig, w: CILQRWeights, x0_b, scenario_b,
         ls_chunk = int(_os.environ.get("ILQR_LS_CHUNK", default))
     if groups > 1 or _PROBE:
         ls_chunk = 0
+    # experiment knob (direct calls only, same caveat as ILQR_LS_CHUNK):
+    # extra window rows above the per-step search bound; buffers sustained
+    # over-target speeds under the round-5 target-velocity bound
+    proj_slack = int(_os.environ.get("ILQR_PROJ_SLACK", str(_PROJ_SLACK)))
     return _cilqr_solve_pallas_jit(
         cfg, w, x0_b, scenario_b, window=window, interpret=interpret,
         u_init=u_init, straggler_cap=straggler_cap,
         proj_rows_per_step=proj_rows_per_step, groups=groups,
         alm_mu0=alm_mu0, alm_rho0=alm_rho0, return_alm=return_alm,
         w_back=w_back, ls_chunk=ls_chunk, proj_dot=proj_dot,
-        proj_fold=proj_fold)
+        proj_fold=proj_fold, proj_slack=proj_slack)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "window", "interpret", "straggler_cap",
                      "proj_rows_per_step", "groups", "return_alm",
-                     "w_back", "ls_chunk", "proj_dot", "proj_fold"),
+                     "w_back", "ls_chunk", "proj_dot", "proj_fold",
+                     "proj_slack"),
 )
 def _cilqr_solve_pallas_jit(cfg: CILQRConfig, w: CILQRWeights, x0_b,
                             scenario_b, window: int, interpret: bool,
                             u_init, straggler_cap, proj_rows_per_step: int,
                             groups: int, alm_mu0, alm_rho0,
                             return_alm: bool, w_back: int, ls_chunk: int,
-                            proj_dot: bool, proj_fold: bool):
+                            proj_dot: bool, proj_fold: bool,
+                            proj_slack: int = _PROJ_SLACK):
     """Jitted body of :func:`cilqr_solve_pallas` (ls_chunk already
     resolved to an int by the wrapper)."""
     N, M = cfg.N, max(cfg.num_obstacles, 1)
@@ -1521,7 +1527,7 @@ def _cilqr_solve_pallas_jit(cfg: CILQRConfig, w: CILQRWeights, x0_b,
         # per-step static search bounds (see project() docstring); rounded
         # to vreg sublane multiples
         row_limits = tuple(
-            min(W, -(-(w_back + _PROJ_SLACK + k * proj_rows_per_step) // 8) * 8)
+            min(W, -(-(w_back + proj_slack + k * proj_rows_per_step) // 8) * 8)
             for k in range(N + 1))
     else:
         row_limits = None
