@@ -83,6 +83,35 @@ def test_five_tick_mpc_matches_reference_cpp(harness, name):
                                atol=1e-10)
 
 
+def test_full_reference_length_episode_matches_cpp(harness):
+    """The COMPLETE reference episode: 120 receding-horizon ticks
+    (max_simulation_time / delta_t of scenario_two_straight.yaml, the
+    app's full run, src/motion_planning.cpp:180-270) against the
+    compiled C++ solver. Measured drift: max 1.8e-12 at tick 12, then
+    CONTRACTING (5.6e-16 by tick 100) -- the car-following equilibrium
+    is attractive, so the two f64 builds converge to the same closed
+    loop. ~15 s of f64 CPU compute."""
+    import jax.numpy as jnp
+
+    from ilqr_tpu.config import GlobalConfig
+    from ilqr_tpu.sim.mpc import run_mpc
+    from ilqr_tpu.sim.scenario import build_scenario_setup
+    from ilqr_tpu.types import CILQRConfig, CILQRWeights
+
+    name = "scenario_two_straight"
+    ego_cpp, u0_cpp = _run_harness(
+        harness, os.path.join(CONFIG_DIR, f"{name}.yaml"), 120)
+
+    gc = GlobalConfig.from_file(os.path.join(CONFIG_DIR, f"{name}.yaml"))
+    st = build_scenario_setup(gc)
+    cfg = CILQRConfig.from_global_config(gc)
+    w = CILQRWeights.from_global_config(gc, dtype=jnp.float64)
+    h = run_mpc(cfg, w, st, dtype=jnp.float64, ticks=120)
+    np.testing.assert_allclose(np.asarray(h["ego"]), ego_cpp, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(h["u"][:, 0, :]), u0_cpp,
+                               atol=1e-8)
+
+
 def test_twenty_tick_episode_matches_reference_cpp(harness):
     """Longer-run drift check on the warm-start scenario
     (scenario_three_straight ships use_last_solution=true,
