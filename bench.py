@@ -18,11 +18,11 @@ reference's use_last_solution shifted-u warm start between ticks
 (src/cilqr_solver.cpp:163-180; BENCH_WARM=0 disables). Episodes run on the
 chunked fused-kernel driver, verified tick-for-tick bitwise against the
 plain host-loop driver on hardware (docs/PERFORMANCE.md
-"Reference-length episodes"; measured 137.0k solves/s on one v5e chip
+"Reference-length episodes"; measured 142.2k solves/s on one v5e chip
 at the round-5 defaults). Metric: "cilqr_mpc_solves_per_sec".
 
 BENCH_MODE=cold benches independent single cold solves instead (metric
-"cilqr_solves_per_sec"; 51.8k solves/s on one v5e chip). Historical note:
+"cilqr_solves_per_sec"; 56.1k solves/s on one v5e chip). Historical note:
 round-2's 99.5k/104k MPC figures were artifacts of the lax.scan
 miscompile (docs/PERFORMANCE.md "Second instance of the same bug
 family") and were retracted; today's episode numbers come from the
@@ -51,7 +51,7 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
     (run_mpc_kernel_chunked: one compiled 10-tick chunk program dispatched
     repeatedly with device-resident carries -- tick-for-tick identical to
     the host loop, tests/test_pallas_kernel.py), which is how the
-    reference-length 120-tick episode measures 137.0k solves/s on one v5e
+    reference-length 120-tick episode measures 142.2k solves/s on one v5e
     chip at batch 8192 (docs/PERFORMANCE.md "Reference-length episodes")."""
     from ilqr_tpu.config import GlobalConfig
     from ilqr_tpu.sim.mpc import run_mpc_kernel_chunked, run_mpc_kernel_scan
@@ -71,9 +71,10 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
     scenario = st.device_scenario(tick=0, dtype=dtype)
     B = batch
     # per-step projection search bound; -1 derives 1.1x the target
-    # velocity (see cilqr_kernel.derive_proj_rows -- +15.9% cold /
-    # +10.2% episodes over the legacy 1.5x-speed-limit bound,
-    # anchor-validated with bound-never-binds statistics), 0 disables
+    # velocity (see cilqr_kernel.derive_proj_rows -- with slack 16,
+    # +25.4% cold / +14.7% episodes over the legacy 1.5x-speed-limit
+    # bound, anchor-validated with bound-never-binds statistics),
+    # 0 disables
     proj_rows = int(os.environ.get("BENCH_PROJ", "-1"))
     if proj_rows < 0:
         from ilqr_tpu.ops.pallas.cilqr_kernel import derive_proj_rows
@@ -215,9 +216,10 @@ def build(batch: int, dtype=jnp.float32):
         cap = tuple(int(c) for c in cap_s.split(",") if c) if "," in cap_s \
             else int(cap_s)
         # per-step projection search bound; -1 derives 1.1x the target
-        # velocity (see cilqr_kernel.derive_proj_rows -- +15.9% cold /
-        # +10.2% episodes over the legacy 1.5x-speed-limit bound,
-        # anchor-validated with bound-never-binds statistics), 0 disables
+        # velocity (see cilqr_kernel.derive_proj_rows -- with slack 16,
+        # +25.4% cold / +14.7% episodes over the legacy 1.5x-speed-limit
+        # bound, anchor-validated with bound-never-binds statistics),
+        # 0 disables
         proj_rows = int(os.environ.get("BENCH_PROJ", "-1"))
         if proj_rows < 0:
             from ilqr_tpu.ops.pallas.cilqr_kernel import derive_proj_rows

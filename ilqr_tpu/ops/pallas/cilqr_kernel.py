@@ -1222,7 +1222,17 @@ def _build_kernel(N: int, M: int, W: int, max_iter: int, n_alphas: int,
     return kernel
 
 
-_PROJ_SLACK = 48  # extra window rows (4.8 m) above the per-step search bound
+# Extra window rows above the per-step search bound (row_limits[k] =
+# round8(w_back + slack + k * proj_rows)). Round-5 sweep at the shipped
+# target-velocity bound: 48 -> 52.5k, 32 -> 54.1k, 24 -> 54.3k,
+# 16 -> 56.1k cold solves/s with bench conv/iters unchanged
+# (tools/results/bench_cold_r5_slack*.log), and the four-scenario
+# f64-anchor validation at 16 is bit-identical to the unbounded window
+# (val_r5_slack16.log) -- the bound still never binds. 16 rows (1.6 m)
+# remains enough because the k=0 nearest row sits at <= w_back by the
+# window-gather invariant and per-step overshoot above 1.1x target is
+# transient on these workloads; ILQR_PROJ_SLACK overrides per process.
+_PROJ_SLACK = 16
 
 
 def derive_proj_rows(target_velocity, dt, factor: float = 1.1):

@@ -14,11 +14,11 @@ Counting rules: one FLOP per scalar +,-,*,/,compare,select; transcendental
 (sin/cos/exp) = 1 FLOP (hardware-rate-limited ops are counted once --
 this *under*states the VPU's actual effort, keeping MFU conservative).
 
-Usage: python tools/mfu.py [--solves-per-sec 51818] [--mean-iters 11.6]
+Usage: python tools/mfu.py [--solves-per-sec 56094] [--mean-iters 11.6]
            [--mean-lane-trials 2.77] [--window 384] [--proj-rows 9]
 (defaults = the round-5 cold bench at the shipped configuration --
 proj_dot centered, w_back 24, target-velocity projection bound,
-tools/results/bench_cold_r5_proj9.log -- and the oracle's mean per-lane
+tools/results/bench_cold_r5_slack16.log -- and the oracle's mean per-lane
 trial count, tools/measure_ls_trials.py; --proj-rows 0 recovers the
 full-window accounting)
 """
@@ -54,7 +54,7 @@ def flops_per_solve(N=30, M=3, W=384, mean_iters=11.6, mean_trials=2.77):
     return mean_iters * per_iter
 
 
-def mean_scanned_rows(N=30, W=384, proj_rows=9, w_back=24, slack=48):
+def mean_scanned_rows(N=30, W=384, proj_rows=9, w_back=24, slack=16):
     """Mean per-step rows actually scanned under the round-5 per-step
     search bound row_limits[k] = round8(w_back + slack + k * proj_rows)
     capped at W (cilqr_kernel.derive_proj_rows). Passing this as the
@@ -68,7 +68,7 @@ def mean_scanned_rows(N=30, W=384, proj_rows=9, w_back=24, slack=48):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--solves-per-sec", type=float, default=51818.0)
+    ap.add_argument("--solves-per-sec", type=float, default=56094.0)
     ap.add_argument("--mean-iters", type=float, default=11.6)
     ap.add_argument("--mean-lane-trials", type=float, default=2.77)
     ap.add_argument("--window", type=int, default=384)
