@@ -285,13 +285,23 @@ def build(batch: int, dtype=jnp.float32):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "8192"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     # default = the reference's workload shape (full-length MPC episodes)
     # on accelerators; CPU keeps the cold XLA path (the kernel only runs
     # in interpret mode there -- a test vehicle, not a performance path)
     default_mode = "cold" if jax.default_backend() == "cpu" else "mpc"
     mode = os.environ.get("BENCH_MODE", default_mode)  # "mpc" | "cold"
+    # per-mode batch defaults (round 5): cold solves amortize dispatch
+    # further at 16384 (59.5k vs 56.1k, bench_cold_r5_b16384.log) while
+    # 120-tick episodes regress there (130.1k vs 142.2k -- chunk-carry
+    # locality), so each mode defaults to its measured-best batch; the
+    # CPU smoke keeps a small batch (the XLA fallback path is ~1000x
+    # slower per solve)
+    if jax.default_backend() == "cpu":
+        default_batch = "64"
+    else:
+        default_batch = "16384" if mode == "cold" else "8192"
+    batch = int(os.environ.get("BENCH_BATCH", default_batch))
     ticks = int(os.environ.get("BENCH_TICKS", "120"))
     if mode == "mpc":
         run, n_dev = build_mpc(batch, ticks)

@@ -14,11 +14,12 @@ Counting rules: one FLOP per scalar +,-,*,/,compare,select; transcendental
 (sin/cos/exp) = 1 FLOP (hardware-rate-limited ops are counted once --
 this *under*states the VPU's actual effort, keeping MFU conservative).
 
-Usage: python tools/mfu.py [--solves-per-sec 56094] [--mean-iters 11.6]
+Usage: python tools/mfu.py [--solves-per-sec 59548] [--mean-iters 11.7]
            [--mean-lane-trials 2.77] [--window 384] [--proj-rows 9]
 (defaults = the round-5 cold bench at the shipped configuration --
 proj_dot centered, w_back 24, target-velocity projection bound,
-tools/results/bench_cold_r5_slack16.log -- and the oracle's mean per-lane
+tools/results/bench_cold_r5_b16384.log (batch 16384, the cold-mode
+default) -- and the oracle's mean per-lane
 trial count, tools/measure_ls_trials.py; --proj-rows 0 recovers the
 full-window accounting)
 """
@@ -68,8 +69,8 @@ def mean_scanned_rows(N=30, W=384, proj_rows=9, w_back=24, slack=16):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--solves-per-sec", type=float, default=56094.0)
-    ap.add_argument("--mean-iters", type=float, default=11.6)
+    ap.add_argument("--solves-per-sec", type=float, default=59548.0)
+    ap.add_argument("--mean-iters", type=float, default=11.7)
     ap.add_argument("--mean-lane-trials", type=float, default=2.77)
     ap.add_argument("--window", type=int, default=384)
     ap.add_argument("--proj-rows", type=int, default=9,
