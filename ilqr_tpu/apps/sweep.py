@@ -49,8 +49,9 @@ def main(argv=None) -> int:
                         "tools/validate_kernel_tpu.py)")
     parser.add_argument("--proj-rows", type=int, default=-1,
                         help="kernel engine: per-step projection search "
-                        "bound; -1 derives from the yaml speed limit with "
-                        "1.5x headroom, 0 disables")
+                        "bound; -1 derives 1.1x the yaml's target "
+                        "velocity (cilqr_kernel.derive_proj_rows, the "
+                        "bench default), 0 disables")
     parser.add_argument("--straggler-cap", default="8,16,32",
                         help="kernel engine: straggler-compaction iteration "
                         "cap or comma-separated multi-phase schedule "
@@ -90,8 +91,9 @@ def main(argv=None) -> int:
     st = build_scenario_setup(gc)
     proj_rows = args.proj_rows
     if proj_rows < 0:
-        proj_rows = int(np.ceil(1.5 * float(gc["vehicle/velo_max"])
-                                * float(gc["delta_t"]) / 0.1))
+        from ilqr_tpu.ops.pallas.cilqr_kernel import derive_proj_rows
+        proj_rows = derive_proj_rows(gc["vehicle/target_velocity"],
+                                     gc["delta_t"])
     cfg = CILQRConfig.from_global_config(gc)
     w = CILQRWeights.from_global_config(gc, dtype=jnp.float32)
     scenario = st.device_scenario(tick=0, dtype=jnp.float32)
