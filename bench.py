@@ -18,7 +18,7 @@ reference's use_last_solution shifted-u warm start between ticks
 (src/cilqr_solver.cpp:163-180; BENCH_WARM=0 disables). Episodes run on the
 chunked fused-kernel driver, verified tick-for-tick bitwise against the
 plain host-loop driver on hardware (docs/PERFORMANCE.md
-"Reference-length episodes"; measured 142.2k solves/s on one v5e chip
+"Reference-length episodes"; measured 148.2k solves/s on one v5e chip
 at the round-5 defaults). Metric: "cilqr_mpc_solves_per_sec".
 
 BENCH_MODE=cold benches independent single cold solves instead (metric
@@ -51,7 +51,7 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
     (run_mpc_kernel_chunked: one compiled 10-tick chunk program dispatched
     repeatedly with device-resident carries -- tick-for-tick identical to
     the host loop, tests/test_pallas_kernel.py), which is how the
-    reference-length 120-tick episode measures 142.2k solves/s on one v5e
+    reference-length 120-tick episode measures 148.2k solves/s on one v5e
     chip at batch 8192 (docs/PERFORMANCE.md "Reference-length episodes")."""
     from ilqr_tpu.config import GlobalConfig
     from ilqr_tpu.sim.mpc import run_mpc_kernel_chunked, run_mpc_kernel_scan
@@ -86,9 +86,13 @@ def build_mpc(batch: int, ticks: int, dtype=jnp.float32):
     cap_s = os.environ.get("BENCH_CAP", "8,16,32")
     cap = tuple(int(c) for c in cap_s.split(",") if c) if "," in cap_s \
         else int(cap_s)
-    # warm ticks converge in ~5-6 iters; a lower schedule for them
-    # (BENCH_CAP_WARM, e.g. "4,8,16") applies to every tick but the first
-    capw_s = os.environ.get("BENCH_CAP_WARM", "")
+    # warm ticks converge in ~5-6 iters, so a lower straggler schedule
+    # pays there. Round-5 sweep (bench_mpc_r5_capw*.log): 4,8,16 ->
+    # 129.0k, 5,10,20 -> 144.3k, 6,12,24 -> 148.2k (peak), 7,14,28 ->
+    # 145.3k, same-as-cold 8,16,32 -> 142.2k; two-phase 8,16 -> 126.6k.
+    # Episodes are bitwise-identical across schedules (compaction+exact
+    # resume), so this is a pure perf knob. "" = use the cold schedule.
+    capw_s = os.environ.get("BENCH_CAP_WARM", "6,12,24")
     capw = None
     if capw_s:
         capw = (tuple(int(c) for c in capw_s.split(",") if c)
